@@ -1,0 +1,264 @@
+"""Hierarchical VQ-VAE-2 (TPU-native redesign of reference ``vqvae.py``).
+
+Design notes vs the reference:
+
+* **NHWC throughout.** The reference is NCHW and permutes to NHWC around the
+  quantizer (``vqvae.py:227-237``); on TPU NHWC is the native conv layout, so
+  there are no permutes anywhere.
+* **Quantizer state is explicit.** The reference mutates ``embed`` /
+  ``cluster_size`` / ``embed_avg`` buffers in place under ``self.training``
+  (``vqvae.py:37-40,54-70``).  Here they live in a flax ``"vq_stats"``
+  variable collection (buffers, not parameters — same as the reference) and
+  the train step threads them functionally via ``mutable=["vq_stats"]``.
+* **Cross-device EMA sync.** The reference all-reduces the one-hot counts and
+  sums (``vqvae.py:58-59``).  Under GSPMD, summing over the batch axis of a
+  sharded array compiles to the identical all-reduce automatically; under
+  shard_map pass ``axis_name="data"`` and the module psums explicitly.
+* **The distance search is a fused Pallas kernel** (:mod:`vqvae2_tpu.ops.quantize`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vqvae2_tpu.ops.quantize import nearest_code, quantize_lookup
+
+Dtype = Any
+
+
+class Quantize(nn.Module):
+    """EMA vector quantizer (reference ``Quantize``, ``vqvae.py:28-78``).
+
+    Attributes mirror the reference init args (``vqvae.py:29-40``):
+    ``dim`` (code dim), ``n_embed`` (codebook size), ``decay`` (EMA decay,
+    0.99), ``eps`` (Laplace smoothing, 1e-5).
+    """
+
+    dim: int
+    n_embed: int = 512
+    decay: float = 0.99
+    eps: float = 1e-5
+    axis_name: Optional[str] = None  # set under shard_map; None under GSPMD
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Args: ``x`` — ``(..., dim)`` NHWC features.
+
+        Returns ``(quantized, diff, indices)`` exactly like the reference
+        forward (``vqvae.py:42-75``): straight-through quantized output,
+        commitment loss, and integer code indices of shape ``x.shape[:-1]``.
+        """
+        # Buffers, not parameters (reference registers buffers, vqvae.py:37-40).
+        # Reference stores embed as (dim, n_embed); we use (n_embed, dim) —
+        # the natural row-major layout for the Pallas tile loop.
+        embed_init = nn.initializers.normal(stddev=1.0)
+        embed = self.variable(
+            "vq_stats", "embed",
+            lambda k: embed_init(k, (self.n_embed, self.dim), jnp.float32),
+            self.make_rng("params") if self.is_initializing() else None,
+        )
+        cluster_size = self.variable(
+            "vq_stats", "cluster_size", lambda: jnp.zeros((self.n_embed,), jnp.float32)
+        )
+        embed_avg = self.variable(
+            "vq_stats", "embed_avg", lambda: embed.value.copy()
+        )
+
+        flat = x.reshape(-1, self.dim)
+        indices, quantized, csum, esum = nearest_code(flat, embed.value)
+        indices = indices.reshape(x.shape[:-1])
+        quantized = quantized.reshape(x.shape).astype(x.dtype)
+
+        if train and not self.is_initializing():
+            # Cross-replica stat sync (reference all_reduce, vqvae.py:58-59).
+            if self.axis_name is not None:
+                csum = jax.lax.psum(csum, self.axis_name)
+                esum = jax.lax.psum(esum, self.axis_name)
+            # EMA update (vqvae.py:61-70), with Laplace smoothing.
+            new_cluster = cluster_size.value * self.decay + (1 - self.decay) * csum
+            new_avg = embed_avg.value * self.decay + (1 - self.decay) * esum
+            n = jnp.sum(new_cluster)
+            smoothed = (new_cluster + self.eps) / (n + self.n_embed * self.eps) * n
+            cluster_size.value = new_cluster
+            embed_avg.value = new_avg
+            embed.value = new_avg / smoothed[:, None]
+
+        # Commitment loss + straight-through estimator (vqvae.py:72-73).
+        diff = jnp.mean(
+            jnp.square(jax.lax.stop_gradient(quantized).astype(jnp.float32)
+                       - x.astype(jnp.float32))
+        )
+        quantized = x + jax.lax.stop_gradient(quantized - x)
+        return quantized, diff, indices
+
+    def embed_code(self, indices: jax.Array) -> jax.Array:
+        """Codebook lookup (reference ``embed_code``, ``vqvae.py:77-78``)."""
+        return quantize_lookup(indices, self.get_variable("vq_stats", "embed"))
+
+
+class ResBlock(nn.Module):
+    """ReLU→3×3→ReLU→1×1 + skip (reference ``ResBlock``, ``vqvae.py:81-96``)."""
+
+    channel: int
+    out_channel: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.relu(x)
+        h = nn.Conv(self.channel, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.out_channel, (1, 1), dtype=self.dtype)(h)
+        return x + h
+
+
+class Encoder(nn.Module):
+    """Strided conv encoder (reference ``Encoder``, ``vqvae.py:99-127``).
+
+    ``stride`` ∈ {2, 4}: stride-4 = two 4×4/s2 convs; stride-2 = one.
+    """
+
+    channel: int = 128
+    n_res_block: int = 2
+    n_res_channel: int = 32
+    stride: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c, dt = self.channel, self.dtype
+        if self.stride == 4:
+            x = nn.Conv(c // 2, (4, 4), strides=(2, 2), padding="SAME", dtype=dt)(x)
+            x = nn.relu(x)
+            x = nn.Conv(c, (4, 4), strides=(2, 2), padding="SAME", dtype=dt)(x)
+            x = nn.relu(x)
+            x = nn.Conv(c, (3, 3), padding="SAME", dtype=dt)(x)
+        elif self.stride == 2:
+            x = nn.Conv(c // 2, (4, 4), strides=(2, 2), padding="SAME", dtype=dt)(x)
+            x = nn.relu(x)
+            x = nn.Conv(c, (3, 3), padding="SAME", dtype=dt)(x)
+        else:
+            raise ValueError(f"unsupported stride {self.stride}")
+        for _ in range(self.n_res_block):
+            x = ResBlock(self.n_res_channel, c, dtype=dt)(x)
+        return nn.relu(x)
+
+
+class Decoder(nn.Module):
+    """Transposed-conv decoder (reference ``Decoder``, ``vqvae.py:130-166``)."""
+
+    out_channel: int
+    channel: int = 128
+    n_res_block: int = 2
+    n_res_channel: int = 32
+    stride: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c, dt = self.channel, self.dtype
+        x = nn.Conv(c, (3, 3), padding="SAME", dtype=dt)(x)
+        for _ in range(self.n_res_block):
+            x = ResBlock(self.n_res_channel, c, dtype=dt)(x)
+        x = nn.relu(x)
+        if self.stride == 4:
+            x = nn.ConvTranspose(c // 2, (4, 4), strides=(2, 2), padding="SAME", dtype=dt)(x)
+            x = nn.relu(x)
+            x = nn.ConvTranspose(self.out_channel, (4, 4), strides=(2, 2), padding="SAME", dtype=dt)(x)
+        elif self.stride == 2:
+            x = nn.ConvTranspose(self.out_channel, (4, 4), strides=(2, 2), padding="SAME", dtype=dt)(x)
+        else:
+            raise ValueError(f"unsupported stride {self.stride}")
+        return x
+
+
+class VQVAE(nn.Module):
+    """Two-level hierarchical VQ-VAE (reference ``VQVAE``, ``vqvae.py:169-259``).
+
+    Defaults match ``vqvae.py:170-179``: channel=128, n_res_block=2,
+    n_res_channel=32, embed_dim=64, n_embed=512.  Includes the fork's extra
+    1-channel IR decoder head (``dec_ir``, ``vqvae.py:203-210``).
+    """
+
+    in_channel: int = 3
+    channel: int = 128
+    n_res_block: int = 2
+    n_res_channel: int = 32
+    embed_dim: int = 64
+    n_embed: int = 512
+    decay: float = 0.99
+    with_ir_head: bool = False
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        dt = self.dtype
+        self.enc_b = Encoder(self.channel, self.n_res_block, self.n_res_channel,
+                             stride=4, dtype=dt)
+        self.enc_t = Encoder(self.channel, self.n_res_block, self.n_res_channel,
+                             stride=2, dtype=dt)
+        self.quantize_conv_t = nn.Conv(self.embed_dim, (1, 1), dtype=dt)
+        self.quantize_t = Quantize(self.embed_dim, self.n_embed, self.decay,
+                                   axis_name=self.axis_name)
+        self.dec_t = Decoder(self.embed_dim, self.channel, self.n_res_block,
+                             self.n_res_channel, stride=2, dtype=dt)
+        self.quantize_conv_b = nn.Conv(self.embed_dim, (1, 1), dtype=dt)
+        self.quantize_b = Quantize(self.embed_dim, self.n_embed, self.decay,
+                                   axis_name=self.axis_name)
+        self.upsample_t = nn.ConvTranspose(self.embed_dim, (4, 4), strides=(2, 2),
+                                           padding="SAME", dtype=dt)
+        self.dec = Decoder(self.in_channel, self.channel, self.n_res_block,
+                           self.n_res_channel, stride=4, dtype=dt)
+        if self.with_ir_head:
+            self.dec_ir = Decoder(1, self.channel, self.n_res_block,
+                                  self.n_res_channel, stride=4, dtype=dt)
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        """Forward (reference ``vqvae.py:216-221``): returns ``(dec, diff)``."""
+        quant_t, quant_b, diff, _, _ = self.encode(x, train=train)
+        dec = self.decode(quant_t, quant_b)
+        return dec, diff
+
+    def encode(self, x: jax.Array, train: bool = False):
+        """Reference ``encode`` (``vqvae.py:223-240``): returns
+        ``(quant_t, quant_b, diff, id_t, id_b)`` — all NHWC, no permutes."""
+        enc_b = self.enc_b(x)
+        enc_t = self.enc_t(enc_b)
+
+        qt_in = self.quantize_conv_t(enc_t)
+        quant_t, diff_t, id_t = self.quantize_t(qt_in, train=train)
+
+        dec_t = self.dec_t(quant_t)
+        enc_b = jnp.concatenate([dec_t, enc_b], axis=-1)
+
+        qb_in = self.quantize_conv_b(enc_b)
+        quant_b, diff_b, id_b = self.quantize_b(qb_in, train=train)
+
+        return quant_t, quant_b, diff_t + diff_b, id_t, id_b
+
+    def decode(self, quant_t: jax.Array, quant_b: jax.Array) -> jax.Array:
+        """Reference ``decode`` (``vqvae.py:242-249``)."""
+        upsample_t = self.upsample_t(quant_t)
+        quant = jnp.concatenate([upsample_t, quant_b], axis=-1)
+        return self.dec(quant)
+
+    def decode_ir(self, quant_t: jax.Array, quant_b: jax.Array) -> jax.Array:
+        """The fork's 1-channel IR head (reference ``vqvae.py:203-210``)."""
+        upsample_t = self.upsample_t(quant_t)
+        quant = jnp.concatenate([upsample_t, quant_b], axis=-1)
+        return self.dec_ir(quant)
+
+    def decode_code(self, code_t: jax.Array, code_b: jax.Array) -> jax.Array:
+        """Reconstruct from integer codes (reference ``decode_code``,
+        ``vqvae.py:251-259`` — with the latent-API bug there fixed: the
+        reference calls ``decode(quant_t, quant_b)`` though its ``decode``
+        takes one tensor; ours genuinely takes both)."""
+        quant_t = self.quantize_t.embed_code(code_t).astype(self.dtype)
+        quant_b = self.quantize_b.embed_code(code_b).astype(self.dtype)
+        return self.decode(quant_t, quant_b)

@@ -1,0 +1,197 @@
+"""Fused nearest-codebook search for vector quantization.
+
+TPU-native redesign of the reference ``Quantize.forward`` distance search
+(reference ``vqvae.py:43-49``): there, the full ``(N, K)`` distance matrix
+``‖x‖² − 2·x·E + ‖E‖²`` is materialized in HBM, argmaxed, and a separate
+one-hot ``(N, K)`` matrix is built for both the embedding lookup and the EMA
+statistics (``vqvae.py:50-60``).
+
+Here one Pallas kernel streams tiles of ``x`` through VMEM and fuses, per tile:
+
+1. the score matmul ``2·x@Eᵀ − ‖E‖²`` on the MXU (row-constant ``‖x‖²``
+   dropped — it never changes the argmin),
+2. the argmin (as argmax of the score) on the VPU,
+3. the quantized output ``onehot @ E`` on the MXU (gather-free lookup), and
+4. the EMA sufficient statistics ``Σ onehot`` (cluster counts, K) and
+   ``onehotᵀ @ x`` (per-code sums, (K, D)), accumulated across grid steps in
+   VMEM — TPU grids run sequentially, so accumulation into a
+   constant-index output block is race-free.
+
+Nothing of size ``(N, K)`` ever touches HBM.  The cross-device reduction of the
+EMA stats (reference ``dist_fn.all_reduce``, ``vqvae.py:58-59``) is NOT done
+here: under GSPMD the caller's batch sharding makes XLA insert the all-reduce
+when the stats are consumed; under shard_map the model layer psums them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path (also the CPU/GPU fallback and the ground truth in tests)
+# ---------------------------------------------------------------------------
+
+def nearest_code_reference(
+    flat: jax.Array, embed: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pure-XLA nearest-code search.
+
+    Args:
+      flat:  ``(N, D)`` inputs.
+      embed: ``(K, D)`` codebook.
+
+    Returns ``(indices (N,), quantized (N, D), cluster_sum (K,), embed_sum (K, D))``
+    — exactly the quantities the reference builds at ``vqvae.py:43-57``.
+    """
+    flat32 = flat.astype(jnp.float32)
+    embed32 = embed.astype(jnp.float32)
+    # score = −(‖x‖² − 2·x·Eᵀ + ‖E‖²) — the exact expanded form the reference
+    # argmaxes (vqvae.py:44-49), kept term-for-term for index parity.
+    # HIGHEST matmul precision: the TPU MXU's default reduced-precision fp32
+    # pass perturbs near-tie distances enough to flip code indices.
+    score = (
+        2.0 * jnp.matmul(flat32, embed32.T, precision=jax.lax.Precision.HIGHEST)
+        - jnp.sum(flat32 * flat32, axis=1)[:, None]
+        - jnp.sum(embed32 * embed32, axis=1)[None, :]
+    )
+    indices = jnp.argmax(score, axis=1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(indices, embed.shape[0], dtype=jnp.float32)
+    quantized = (onehot @ embed32).astype(flat.dtype)
+    cluster_sum = jnp.sum(onehot, axis=0)
+    embed_sum = onehot.T @ flat32
+    return indices, quantized, cluster_sum, embed_sum
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
+    step = pl.program_id(0)
+
+    x = x_ref[:].astype(jnp.float32)            # (TN, D)
+    embed = embed_ref[:].astype(jnp.float32)    # (K, D)
+
+    # MXU: (TN, D) @ (D, K) -> (TN, K).  HIGHEST precision — index parity
+    # requires true-fp32 distances, not the MXU's fast fp32 approximation.
+    score = 2.0 * jax.lax.dot_general(
+        x, embed,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # Exact expanded L2 form of the reference (vqvae.py:44-49), incl. the
+    # per-row ‖x‖² term so index choice matches the XLA path bit-for-bit.
+    score = (
+        score
+        - jnp.sum(x * x, axis=1)[:, None]
+        - jnp.sum(embed * embed, axis=1)[None, :]
+    )
+
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)          # (TN,)
+    idx_ref[:] = best[:, None]
+
+    k = embed.shape[0]
+    onehot = (
+        best[:, None] == jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
+    ).astype(jnp.float32)                                        # (TN, K)
+
+    # Gather-free codebook lookup on the MXU.
+    q_ref[:] = jnp.dot(onehot, embed, preferred_element_type=jnp.float32).astype(
+        q_ref.dtype
+    )
+
+    # EMA sufficient statistics, accumulated across sequential grid steps.
+    @pl.when(step == 0)
+    def _init():
+        csum_ref[:] = jnp.zeros_like(csum_ref)
+        esum_ref[:] = jnp.zeros_like(esum_ref)
+
+    csum_ref[:] += jnp.sum(onehot, axis=0)[None, :]
+    esum_ref[:] += jax.lax.dot_general(
+        onehot, x,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 1024):
+    n, d = flat.shape
+    k = embed.shape[0]
+
+    n_pad = _round_up(max(n, 8), block_n)
+    if n_pad != n:
+        # Padding rows quantize to *some* code; their stats are subtracted
+        # exactly below (every pad row maps to the same argmax of the constant
+        # zero-input score, i.e. the code with min ‖E‖²).
+        flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+
+    grid = (n_pad // block_n,)
+    idx, q, csum, esum = pl.pallas_call(
+        _quantize_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, d), flat.dtype),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * k * d * 2,
+            bytes_accessed=(n_pad * d + k * d) * 4 + n_pad * (4 + d * 4),
+            transcendentals=0,
+        ),
+    )(flat, embed)
+
+    if n_pad != n:
+        # Remove the padding rows' contribution to the stats.
+        pad_idx = idx[n:n_pad, 0]
+        pad_onehot = jax.nn.one_hot(pad_idx, k, dtype=jnp.float32)
+        csum = csum - jnp.sum(pad_onehot, axis=0)[None, :]
+        # pad rows are zero vectors -> contribute nothing to esum.
+        idx = idx[:n]
+        q = q[:n]
+
+    return idx[:, 0], q, csum[0], esum
+
+
+def nearest_code(
+    flat: jax.Array, embed: jax.Array, block_n: int = 1024
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused nearest-code search; Pallas on TPU, XLA elsewhere.
+
+    Same contract as :func:`nearest_code_reference`.
+    """
+    if flat.ndim != 2 or embed.ndim != 2 or flat.shape[1] != embed.shape[1]:
+        raise ValueError(f"bad shapes {flat.shape} vs {embed.shape}")
+    if jax.default_backend() == "tpu":
+        return _nearest_code_pallas(flat, embed, block_n=block_n)
+    return nearest_code_reference(flat, embed)
+
+
+def quantize_lookup(indices: jax.Array, embed: jax.Array) -> jax.Array:
+    """``embed_code`` equivalent (reference ``vqvae.py:77-78``): codebook
+    lookup by integer index, any leading shape."""
+    return jnp.take(embed, indices, axis=0)

@@ -1,0 +1,191 @@
+"""SPMD parallelism layer — the TPU-native replacement for the reference's
+``distributed/`` package (NCCL + ``mp.spawn`` launcher, reference
+``distributed/launch.py:22-92`` and ``distributed/distributed.py:1-143``).
+
+Design: instead of one process per device with explicit NCCL collectives, we run
+single-program-multiple-data over a :class:`jax.sharding.Mesh`.  Inside jitted
+step functions, cross-device reductions are either
+
+*  **implicit** — under ``jit`` with sharding constraints, a ``jnp.sum`` over a
+   batch axis that is sharded on the ``data`` mesh axis compiles to a local
+   reduce + ``all-reduce`` over ICI (this carries the VQ codebook EMA stats,
+   reference ``vqvae.py:58-59``), or
+*  **explicit** — under :func:`shard_map` the helpers here take an ``axis_name``
+   and emit ``lax.psum`` / ``lax.all_gather``.
+
+The reference API surface (``launch``, ``get_rank``, ``is_primary``,
+``get_world_size``, ``all_reduce``, ``all_gather``, ``reduce_dict``,
+``data_sampler``) is preserved with SPMD semantics so trainers read the same.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+# ---------------------------------------------------------------------------
+# Mesh construction (replaces distributed/launch.py process spawn + NCCL init)
+# ---------------------------------------------------------------------------
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a device mesh.  Default: 1-D data-parallel mesh over all devices.
+
+    ``shape`` lets callers carve a 2-D ``(data, model)`` mesh for trainers that
+    additionally shard parameters/activations.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(tuple(shape)), axis_names=tuple(axis_names))
+
+
+@functools.lru_cache(maxsize=None)
+def default_mesh() -> Mesh:
+    return make_mesh()
+
+
+def launch(fn, *args, mesh: Optional[Mesh] = None, **kwargs):
+    """SPMD 'launcher' — replaces ``dist.launch(fn, n_gpu, ...)``
+    (reference ``distributed/launch.py:22-49``).  There is no process spawn:
+    one controller drives all local devices; multi-host setups call
+    ``jax.distributed.initialize`` before this.  We simply install the mesh as
+    the ambient default and call ``fn``.
+    """
+    mesh = mesh or default_mesh()
+    with jax.sharding.use_mesh(mesh):
+        return fn(*args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Rank / size queries (reference distributed/distributed.py:17-61)
+# ---------------------------------------------------------------------------
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_local_rank() -> int:
+    return 0  # one controller process per host under SPMD
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def get_world_size() -> int:
+    return jax.device_count()
+
+
+def synchronize() -> None:
+    """Barrier (reference ``distributed/distributed.py:39-51``)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("vqvae2_tpu.synchronize")
+
+
+# ---------------------------------------------------------------------------
+# In-jit collectives (named-axis flavour, for shard_map'd steps)
+# ---------------------------------------------------------------------------
+
+def all_reduce(x: jax.Array, axis_name: Optional[str] = DATA_AXIS) -> jax.Array:
+    """SUM all-reduce (reference ``distributed/distributed.py:64-72``).
+
+    Inside ``shard_map``/``pmap`` with ``axis_name`` bound → ``lax.psum``.
+    Outside any named axis (plain jit/GSPMD) this is the identity: the caller's
+    sharding constraints make XLA insert the collective.
+    """
+    if axis_name is None:
+        return x
+    try:
+        return jax.lax.psum(x, axis_name)
+    except NameError:
+        return x
+
+
+def all_gather(x: jax.Array, axis_name: Optional[str] = DATA_AXIS) -> jax.Array:
+    """All-gather along the mesh axis (reference pickled-dict all_gather,
+    ``distributed/distributed.py:75-107`` — here metrics are arrays, not
+    pickles, so this is a single ICI collective)."""
+    if axis_name is None:
+        return x
+    try:
+        return jax.lax.all_gather(x, axis_name)
+    except NameError:
+        return x
+
+
+def pmean(x, axis_name: Optional[str] = DATA_AXIS):
+    if axis_name is None:
+        return x
+    try:
+        return jax.lax.pmean(x, axis_name)
+    except NameError:
+        return x
+
+
+def reduce_dict(d: Dict[str, jax.Array], average: bool = True) -> Dict[str, Any]:
+    """Host-level metric reduction (reference ``distributed/distributed.py:110-132``).
+
+    Under SPMD, jitted steps already return globally-reduced scalars; this
+    helper finalizes device arrays to host floats on every process (all
+    processes see the same value — no rank-0 broadcast needed).
+    """
+    out = {}
+    for k, v in d.items():
+        v = np.asarray(v)
+        out[k] = float(v.mean() if average else v.sum())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Data sharding helpers (replace DistributedSampler, distributed.py:135-143)
+# ---------------------------------------------------------------------------
+
+def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS):
+    """Place a host batch onto the mesh, sharding the leading dim over ``axis``.
+
+    Replaces the reference's per-rank ``DistributedSampler`` + ``.to(device)``;
+    here one global batch is laid out across all chips in one call.
+    """
+    mesh = mesh or default_mesh()
+
+    def _put(x):
+        x = np.asarray(x)
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate(tree, mesh: Optional[Mesh] = None):
+    """Replicate a pytree (params/state) across the mesh."""
+    mesh = mesh or default_mesh()
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_sampler(dataset_len: int, shuffle: bool, seed: int = 0) -> np.ndarray:
+    """Global index permutation for one epoch (the SPMD analogue of
+    ``data_sampler`` at ``distributed/distributed.py:135-143``: with a single
+    controller there is no per-rank split — the batch itself is sharded)."""
+    if shuffle:
+        rng = np.random.default_rng(seed)
+        return rng.permutation(dataset_len)
+    return np.arange(dataset_len)
