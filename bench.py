@@ -1,0 +1,137 @@
+"""Headline benchmark: 256px encode+quantize images/sec/chip on TPU vs the
+PyTorch-CPU baseline (BASELINE.json north star: >=5x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value = TPU images/sec/chip and vs_baseline = value / pytorch_cpu_images_per_sec
+(so vs_baseline >= 5 means the target is met).
+
+The PyTorch baseline is measured live: an architecture-equivalent NCHW
+encode+quantize (stride-4 + stride-2 conv stacks, 1x1 projection, 512-way
+nearest-code search) built with torch.nn, matching reference vqvae.py encoder
+geometry (vqvae.py:99-127,169-240) without reusing its code.
+"""
+
+import json
+import time
+
+import numpy as np
+
+SIZE = 256
+BATCH = 64
+EMBED_DIM = 64
+N_EMBED = 512
+CHANNEL = 128
+N_RES = 2
+N_RES_CH = 32
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    from vqvae2_tpu.models.vqvae import VQVAE
+
+    model = VQVAE(channel=CHANNEL, n_res_block=N_RES, n_res_channel=N_RES_CH,
+                  embed_dim=EMBED_DIM, n_embed=N_EMBED)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(BATCH, SIZE, SIZE, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+    n_iter = 20
+
+    # Loop inside one jit and fetch a scalar: per-dispatch tunnel latency and
+    # async-dispatch artifacts would otherwise dominate/undercount the timing.
+    @jax.jit
+    def encode_n(variables, x):
+        def body(i, acc):
+            _, _, _, id_t, id_b = model.apply(variables, x, method=model.encode)
+            return acc + id_t.sum() + id_b.sum()
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.int32))
+
+    int(encode_n(variables, x))  # compile + warm
+    t0 = time.perf_counter()
+    int(encode_n(variables, x))  # host fetch forces completion
+    dt = time.perf_counter() - t0
+    n_chips = max(jax.device_count(), 1)
+    return BATCH * n_iter / dt / n_chips
+
+
+def bench_torch_cpu():
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    def res_block():
+        return nn.Sequential(nn.ReLU(), nn.Conv2d(CHANNEL, N_RES_CH, 3, padding=1),
+                             nn.ReLU(), nn.Conv2d(N_RES_CH, CHANNEL, 1))
+
+    enc_b = nn.Sequential(
+        nn.Conv2d(3, CHANNEL // 2, 4, stride=2, padding=1), nn.ReLU(),
+        nn.Conv2d(CHANNEL // 2, CHANNEL, 4, stride=2, padding=1), nn.ReLU(),
+        nn.Conv2d(CHANNEL, CHANNEL, 3, padding=1),
+        *[res_block() for _ in range(N_RES)], nn.ReLU(),
+    )
+    enc_t = nn.Sequential(
+        nn.Conv2d(CHANNEL, CHANNEL // 2, 4, stride=2, padding=1), nn.ReLU(),
+        nn.Conv2d(CHANNEL // 2, CHANNEL, 3, padding=1),
+        *[res_block() for _ in range(N_RES)], nn.ReLU(),
+    )
+    proj = nn.Conv2d(CHANNEL, EMBED_DIM, 1)
+    codebook = torch.randn(N_EMBED, EMBED_DIM)
+
+    # NOTE: residual adds are skipped inside nn.Sequential above; wrap properly
+    class Res(nn.Module):
+        def __init__(self, block):
+            super().__init__()
+            self.block = block
+
+        def forward(self, x):
+            return x + self.block(x)
+
+    # rebuild with residual semantics
+    def enc(cin, stride):
+        layers = [nn.Conv2d(cin, CHANNEL // 2, 4, stride=2, padding=1), nn.ReLU()]
+        if stride == 4:
+            layers += [nn.Conv2d(CHANNEL // 2, CHANNEL, 4, stride=2, padding=1), nn.ReLU(),
+                       nn.Conv2d(CHANNEL, CHANNEL, 3, padding=1)]
+        else:
+            layers += [nn.Conv2d(CHANNEL // 2, CHANNEL, 3, padding=1)]
+        layers += [Res(res_block()) for _ in range(N_RES)]
+        layers += [nn.ReLU()]
+        return nn.Sequential(*layers)
+
+    enc_b, enc_t = enc(3, 4), enc(CHANNEL, 2)
+
+    @torch.no_grad()
+    def encode(x):
+        hb = enc_b(x)
+        ht = enc_t(hb)
+        z = proj(ht).permute(0, 2, 3, 1).reshape(-1, EMBED_DIM)
+        d = (z * z).sum(1, keepdim=True) - 2 * z @ codebook.T \
+            + (codebook * codebook).sum(1)[None, :]
+        return d.argmin(1)
+
+    b = 8
+    x = torch.randn(b, 3, SIZE, SIZE)
+    encode(x)  # warm up
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        encode(x)
+    dt = time.perf_counter() - t0
+    return b * n_iter / dt
+
+
+def main():
+    tpu_ips = bench_tpu()
+    cpu_ips = bench_torch_cpu()
+    print(json.dumps({
+        "metric": "images/sec/chip (256px encode+quantize)",
+        "value": round(tpu_ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(tpu_ips / cpu_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Image datasets + host-side batching (replaces reference ``dataset.py:14-22``
+``ImageFileDataset`` and the torch DataLoader plumbing).
+
+TPU-first data path: the host assembles one *global* batch as a numpy array
+and :func:`vqvae2_tpu.parallel.shard_batch` lays it across the mesh — there is
+no per-rank sampler (reference ``distributed/distributed.py:135-143``); the
+batch dimension itself is the sharding unit.  A background prefetch thread
+keeps host preprocessing off the device critical path.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def normalize_to_unit(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC → float32 in [-1, 1] (the reference's Normalize(0.5, 0.5)
+    transform in train_vqvae.py:148-155)."""
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+class ImageFileDataset:
+    """Recursively indexes an image directory; returns (img, class_idx, relpath)
+    like the reference ``ImageFileDataset.__getitem__`` (``dataset.py:14-22``,
+    which returns the torchvision sample plus the filename for extract_code)."""
+
+    def __init__(self, root: str, size: int = 256):
+        self.root = os.path.abspath(root)
+        self.size = size
+        self.samples: List[Tuple[str, int]] = []
+        classes = {}
+        for dirpath, _, names in sorted(os.walk(self.root)):
+            for n in sorted(names):
+                if n.lower().endswith(IMG_EXTS):
+                    cls = os.path.relpath(dirpath, self.root)
+                    cls_idx = classes.setdefault(cls, len(classes))
+                    self.samples.append((os.path.join(dirpath, n), cls_idx))
+        self.num_classes = len(classes)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        path, cls = self.samples[i]
+        img = Image.open(path).convert("RGB")
+        # torchvision Resize(size) + CenterCrop(size) equivalent
+        w, h = img.size
+        scale = self.size / min(w, h)
+        img = img.resize((max(self.size, round(w * scale)),
+                          max(self.size, round(h * scale))))
+        w, h = img.size
+        left, top = (w - self.size) // 2, (h - self.size) // 2
+        img = img.crop((left, top, left + self.size, top + self.size))
+        arr = normalize_to_unit(np.asarray(img, dtype=np.uint8))
+        rel = os.path.relpath(path, self.root)
+        return arr, cls, rel
+
+
+class SyntheticImages:
+    """Deterministic synthetic image set for smoke tests / benchmarks."""
+
+    def __init__(self, n: int = 256, size: int = 256, channels: int = 3, seed: int = 0):
+        self.n, self.size, self.channels, self.seed = n, size, channels, seed
+        self.num_classes = 1
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int):
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        img = rng.normal(scale=0.5, size=(self.size, self.size, self.channels))
+        return img.astype(np.float32), 0, f"synthetic/{i}.png"
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    prefetch: int = 2,
+    epochs: Optional[int] = 1,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, List[str]]]:
+    """Threaded global-batch iterator yielding (imgs NHWC, labels, paths)."""
+
+    def producer(q: queue.Queue):
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.random.default_rng(seed + epoch).permutation(len(dataset)) \
+                if shuffle else np.arange(len(dataset))
+            end = len(order) - (len(order) % batch_size if drop_last else 0)
+            for s in range(0, end, batch_size):
+                idx = order[s : s + batch_size]
+                if len(idx) < batch_size and drop_last:
+                    break
+                items = [dataset[int(i)] for i in idx]
+                imgs = np.stack([it[0] for it in items])
+                labels = np.asarray([it[1] for it in items], np.int32)
+                paths = [it[2] for it in items]
+                q.put((imgs, labels, paths))
+            epoch += 1
+        q.put(None)
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    t = threading.Thread(target=producer, args=(q,), daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item

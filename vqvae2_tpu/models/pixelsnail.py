@@ -1,0 +1,379 @@
+"""PixelSNAIL autoregressive prior — TPU-native redesign of reference
+``pixelsnail.py`` (itself a port of neocxi/pixelsnail-public).
+
+Key TPU-first changes vs the reference:
+
+* **Static causal kernel masks.** The reference zeroes conv weights in-place
+  *every forward* (``pixelsnail.py:114-115``) — a host-side mutation that is
+  unjittable.  Here the causal mask is a compile-time constant multiplied into
+  the weight-normalized kernel, so the whole model is one pure jitted program.
+* **NHWC everywhere**; GLU gates split the trailing channel axis.
+* **Causal attention as one fused masked softmax** over the flattened grid
+  (≤4096 positions) — XLA fuses mask+softmax+matmul; the mask is a constant,
+  not the reference's lru-cached host tensor (``pixelsnail.py:182-192``).
+* **Condition caching is explicit**: :meth:`PixelSNAIL.compute_condition`
+  runs the CondResNet + 2× upsample once; the sampler feeds the cached feature
+  map back in (the reference hides this in a ``cache`` dict,
+  ``pixelsnail.py:410-424``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Weight-normalized conv/dense (reference wn_linear / WNConv2d,
+# pixelsnail.py:17-60): w = g · v / ‖v‖, norm per output channel.
+# ---------------------------------------------------------------------------
+
+class WNConv(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "VALID"
+    use_bias: bool = True
+    kernel_mask: Optional[np.ndarray] = None  # static causal mask on (kh, kw)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        v = self.param("v", nn.initializers.lecun_normal(), (kh, kw, cin, self.features))
+        if self.kernel_mask is not None:
+            v = v * jnp.asarray(self.kernel_mask, v.dtype)[:, :, None, None]
+        # g initialized to ‖v‖ so w == v at init (torch weight_norm semantics).
+        g = self.param(
+            "g",
+            lambda rng: jnp.sqrt(jnp.sum(jax.lax.stop_gradient(v) ** 2, axis=(0, 1, 2))),
+        )
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
+        w = (g[None, None, None, :] / norm) * v
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=self.strides,
+            padding=self.padding if not isinstance(self.padding, str) else self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class WNDense(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        v = self.param("v", nn.initializers.lecun_normal(), (x.shape[-1], self.features))
+        g = self.param(
+            "g",
+            lambda rng: jnp.sqrt(jnp.sum(jax.lax.stop_gradient(v) ** 2, axis=0)),
+        )
+        norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + 1e-12)
+        y = x @ ((g[None, :] / norm) * v)
+        if self.use_bias:
+            y = y + self.param("b", nn.initializers.zeros, (self.features,))
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Shifts (reference shift_down/shift_right, pixelsnail.py:63-68) — NHWC.
+# ---------------------------------------------------------------------------
+
+def shift_down(x: jax.Array, size: int = 1) -> jax.Array:
+    return jnp.pad(x, ((0, 0), (size, 0), (0, 0), (0, 0)))[:, : x.shape[1]]
+
+
+def shift_right(x: jax.Array, size: int = 1) -> jax.Array:
+    return jnp.pad(x, ((0, 0), (0, 0), (size, 0), (0, 0)))[:, :, : x.shape[2]]
+
+
+# ---------------------------------------------------------------------------
+# Causal convolution (reference CausalConv2d, pixelsnail.py:71-119)
+# ---------------------------------------------------------------------------
+
+class CausalConv(nn.Module):
+    """'downright' pads (top kh−1, left kw−1); 'down'/'causal' pad top kh−1 and
+    kw//2 on both sides; 'causal' additionally masks the kernel's last row from
+    center rightward — as a static mask, not a runtime weight mutation."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    padding_mode: str = "downright"  # 'downright' | 'down' | 'causal'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        if self.padding_mode == "downright":
+            pad = ((kh - 1, 0), (kw - 1, 0))
+            mask = None
+        elif self.padding_mode in ("down", "causal"):
+            pad = ((kh - 1, 0), (kw // 2, kw // 2))
+            mask = None
+            if self.padding_mode == "causal":
+                m = np.ones((kh, kw), np.float32)
+                m[-1, kw // 2:] = 0.0  # reference zeroes weight right-of-center
+                mask = m
+        else:
+            raise ValueError(self.padding_mode)
+        return WNConv(
+            self.features, self.kernel_size, padding=pad, kernel_mask=mask,
+            dtype=self.dtype,
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# Gated residual block (reference GatedResBlock, pixelsnail.py:122-179)
+# ---------------------------------------------------------------------------
+
+class GatedResBlock(nn.Module):
+    channel: int
+    kernel_size: int
+    conv: str = "wnconv2d"  # 'wnconv2d' | 'causal_downright' | 'causal'
+    dropout: float = 0.1
+    auxiliary: bool = False
+    condition_dim: int = 0
+    dtype: Dtype = jnp.float32
+
+    def _conv(self, features: int, name: str):
+        k = self.kernel_size
+        if self.conv == "wnconv2d":
+            return WNConv(features, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
+                          dtype=self.dtype, name=name)
+        if self.conv == "causal_downright":
+            return CausalConv(features, (k, k), "downright", dtype=self.dtype, name=name)
+        if self.conv == "causal":
+            return CausalConv(features, (k, k), "causal", dtype=self.dtype, name=name)
+        raise ValueError(self.conv)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        aux_input: Optional[jax.Array] = None,
+        condition: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        in_channel = x.shape[-1]
+        out = self._conv(self.channel, "conv1")(nn.elu(x))
+        if aux_input is not None:
+            out = out + WNConv(self.channel, (1, 1), dtype=self.dtype,
+                               name="aux_conv")(nn.elu(aux_input))
+        out = nn.elu(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = self._conv(in_channel * 2, "conv2")(out)
+        if condition is not None:
+            out = out + WNConv(in_channel * 2, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="condition")(condition)
+        a, b = jnp.split(out, 2, axis=-1)
+        return x + a * jax.nn.sigmoid(b)  # GLU gate + residual
+
+
+# ---------------------------------------------------------------------------
+# Causal attention (reference CausalAttention, pixelsnail.py:182-234)
+# ---------------------------------------------------------------------------
+
+class CausalAttention(nn.Module):
+    channel: int
+    n_head: int = 8
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query: jax.Array, key: jax.Array, train: bool = False) -> jax.Array:
+        b, h, w, _ = key.shape
+        n = h * w
+        dim_head = self.channel // self.n_head
+
+        def heads(t):
+            return t.reshape(b, n, self.n_head, dim_head).transpose(0, 2, 1, 3)
+
+        q = heads(WNDense(self.channel, name="query")(query.reshape(b, -1, query.shape[-1])))
+        k = heads(WNDense(self.channel, name="key")(key.reshape(b, n, key.shape[-1])))
+        v = heads(WNDense(self.channel, name="value")(key.reshape(b, n, key.shape[-1])))
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dim_head)
+        # strictly-causal mask: position i attends to j < i only; the first
+        # position attends to nothing and its output is zeroed post-softmax
+        # (reference mask/start_mask, pixelsnail.py:182-192,224-225).
+        causal = np.tril(np.ones((n, n), np.float32), k=-1)
+        attn = jnp.where(causal[None, None] == 0, -1e4, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        start = np.ones((n, 1), np.float32)
+        start[0] = 0.0
+        attn = attn * start[None, None]
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        return out.transpose(0, 2, 1, 3).reshape(b, h, w, self.channel)
+
+
+# ---------------------------------------------------------------------------
+# PixelBlock / CondResNet / PixelSNAIL (reference pixelsnail.py:237-431)
+# ---------------------------------------------------------------------------
+
+class PixelBlock(nn.Module):
+    channel: int          # stream width ("in_channel" in the reference)
+    res_channel: int
+    kernel_size: int
+    n_res_block: int
+    attention: bool = True
+    dropout: float = 0.1
+    condition_dim: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        background: jax.Array,
+        condition: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        out = x
+        for i in range(self.n_res_block):
+            out = GatedResBlock(
+                self.res_channel, self.kernel_size, conv="causal",
+                dropout=self.dropout, condition_dim=self.condition_dim,
+                dtype=self.dtype, name=f"res{i}",
+            )(out, condition=condition, train=train)
+
+        if self.attention:
+            key_cat = jnp.concatenate([x, out, background], axis=-1)
+            key = GatedResBlock(self.channel, 1, dropout=self.dropout,
+                                dtype=self.dtype, name="key_resblock")(key_cat, train=train)
+            query_cat = jnp.concatenate([out, background], axis=-1)
+            query = GatedResBlock(self.channel, 1, dropout=self.dropout,
+                                  dtype=self.dtype, name="query_resblock")(query_cat, train=train)
+            attn_out = CausalAttention(self.channel // 2, dropout=self.dropout,
+                                       name="causal_attention")(query, key, train=train)
+            out = GatedResBlock(self.channel, 1, auxiliary=True, dropout=self.dropout,
+                                dtype=self.dtype, name="out_resblock")(
+                out, aux_input=attn_out, train=train)
+        else:
+            bg_cat = jnp.concatenate([out, background], axis=-1)
+            out = WNConv(self.channel, (1, 1), dtype=self.dtype, name="out")(bg_cat)
+        return out
+
+
+class CondResNet(nn.Module):
+    channel: int
+    kernel_size: int
+    n_res_block: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        k = self.kernel_size
+        x = WNConv(self.channel, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
+                   dtype=self.dtype, name="conv_in")(x)
+        for i in range(self.n_res_block):
+            x = GatedResBlock(self.channel, k, dtype=self.dtype, name=f"res{i}")(
+                x, train=train)
+        return x
+
+
+def _background(height: int, width: int) -> np.ndarray:
+    """Coordinate channels (reference background buffer, pixelsnail.py:362-366)."""
+    cx = ((np.arange(height, dtype=np.float32) - height / 2) / height)[:, None]
+    cy = ((np.arange(width, dtype=np.float32) - width / 2) / width)[None, :]
+    return np.stack(
+        [np.broadcast_to(cx, (height, width)), np.broadcast_to(cy, (height, width))],
+        axis=-1,
+    )  # (H, W, 2)
+
+
+class PixelSNAIL(nn.Module):
+    """Reference ``PixelSNAIL`` (``pixelsnail.py:326-431``).
+
+    ``shape``: code-grid (H, W); ``n_class``: codebook size (512);
+    top prior = attention on, unconditional; bottom prior = attention off,
+    conditioned on the top codes (reference ``train_pixelsnail.py:104-130``).
+    """
+
+    shape: Tuple[int, int]
+    n_class: int = 512
+    channel: int = 256
+    kernel_size: int = 5
+    n_block: int = 4
+    n_res_block: int = 4
+    res_channel: int = 256
+    attention: bool = True
+    dropout: float = 0.1
+    n_cond_res_block: int = 0
+    cond_res_channel: int = 0
+    cond_res_kernel: int = 3
+    n_out_res_block: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        codes: jax.Array,                       # (B, H, W) int
+        condition: Optional[jax.Array] = None,  # (B, Hc, Wc) int codes
+        condition_features: Optional[jax.Array] = None,  # cached cond features
+        train: bool = False,
+    ) -> jax.Array:
+        b, height, width = codes.shape
+        kernel = self.kernel_size + (self.kernel_size % 2 == 0)
+
+        x = jax.nn.one_hot(codes, self.n_class, dtype=self.dtype)
+        horizontal = shift_down(CausalConv(
+            self.channel, (kernel // 2, kernel), "down", dtype=self.dtype,
+            name="horizontal")(x))
+        vertical = shift_right(CausalConv(
+            self.channel, ((kernel + 1) // 2, kernel // 2), "downright",
+            dtype=self.dtype, name="vertical")(x))
+        out = horizontal + vertical
+
+        background = jnp.broadcast_to(
+            jnp.asarray(_background(*self.shape)[:height, :width], self.dtype),
+            (b, height, width, 2),
+        )
+
+        cond = condition_features
+        if cond is None and condition is not None:
+            cond = self.compute_condition(condition, train=train)
+        if cond is not None:
+            cond = cond[:, :height, :width]
+
+        for i in range(self.n_block):
+            out = PixelBlock(
+                self.channel, self.res_channel, self.kernel_size,
+                self.n_res_block, attention=self.attention, dropout=self.dropout,
+                condition_dim=self.cond_res_channel, dtype=self.dtype,
+                name=f"block{i}",
+            )(out, background, condition=cond, train=train)
+
+        for i in range(self.n_out_res_block):
+            out = GatedResBlock(self.res_channel, 1, dtype=self.dtype,
+                                name=f"out_res{i}")(out, train=train)
+        out = nn.elu(out)
+        logits = WNConv(self.n_class, (1, 1), dtype=self.dtype, name="out_conv")(out)
+        return logits  # (B, H, W, n_class)
+
+    @nn.nowrap
+    def _has_condition(self) -> bool:
+        return self.n_cond_res_block > 0
+
+    def compute_condition(self, condition: jax.Array, train: bool = False) -> jax.Array:
+        """CondResNet + 2× nearest upsample (reference ``pixelsnail.py:416-423``);
+        call once per sample run and pass the result as ``condition_features``."""
+        c = jax.nn.one_hot(condition, self.n_class, dtype=self.dtype)
+        c = CondResNet(self.cond_res_channel, self.cond_res_kernel,
+                       self.n_cond_res_block, dtype=self.dtype,
+                       name="cond_resnet")(c, train=train)
+        b, h, w, f = c.shape
+        return jax.image.resize(c, (b, h * 2, w * 2, f), method="nearest")

@@ -177,17 +177,40 @@ def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 1024)
     return idx[:, 0], q, csum[0], esum
 
 
+# The kernel is not differentiable (and must not be traced by JVP — argmin
+# and EMA stats are piecewise-constant).  Gradients are defined as zero at the
+# op boundary; callers implement the straight-through estimator explicitly
+# (models/vqvae.py Quantize.__call__), exactly like the reference detaches
+# around the quantizer (vqvae.py:72-73).
+@jax.custom_vjp
+def _nearest_code_pallas_nograd(flat, embed):
+    return _nearest_code_pallas(flat, embed)
+
+
+def _ncp_fwd(flat, embed):
+    return _nearest_code_pallas(flat, embed), (flat, embed)
+
+
+def _ncp_bwd(res, g):
+    flat, embed = res
+    return jnp.zeros_like(flat), jnp.zeros_like(embed)
+
+
+_nearest_code_pallas_nograd.defvjp(_ncp_fwd, _ncp_bwd)
+
+
 def nearest_code(
     flat: jax.Array, embed: jax.Array, block_n: int = 1024
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused nearest-code search; Pallas on TPU, XLA elsewhere.
 
-    Same contract as :func:`nearest_code_reference`.
+    Same contract as :func:`nearest_code_reference`.  Non-differentiable
+    (zero vjp) — wrap with an explicit straight-through estimator.
     """
     if flat.ndim != 2 or embed.ndim != 2 or flat.shape[1] != embed.shape[1]:
         raise ValueError(f"bad shapes {flat.shape} vs {embed.shape}")
     if jax.default_backend() == "tpu":
-        return _nearest_code_pallas(flat, embed, block_n=block_n)
+        return _nearest_code_pallas_nograd(flat, embed)
     return nearest_code_reference(flat, embed)
 
 

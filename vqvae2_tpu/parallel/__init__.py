@@ -67,7 +67,9 @@ def launch(fn, *args, mesh: Optional[Mesh] = None, **kwargs):
     the ambient default and call ``fn``.
     """
     mesh = mesh or default_mesh()
-    with jax.sharding.use_mesh(mesh):
+    # jax>=0.7 renamed use_mesh -> set_mesh (context-manager form retained).
+    use_mesh = getattr(jax.sharding, "use_mesh", None) or jax.sharding.set_mesh
+    with use_mesh(mesh):
         return fn(*args, **kwargs)
 
 
