@@ -318,7 +318,31 @@ class PixelSNAIL(nn.Module):
     n_out_res_block: int = 0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        kernel = self.kernel_size + (self.kernel_size % 2 == 0)
+        self.horizontal = CausalConv(
+            self.channel, (kernel // 2, kernel), "down", dtype=self.dtype)
+        self.vertical = CausalConv(
+            self.channel, ((kernel + 1) // 2, kernel // 2), "downright",
+            dtype=self.dtype)
+        self.blocks = [
+            PixelBlock(
+                self.channel, self.res_channel, self.kernel_size,
+                self.n_res_block, attention=self.attention, dropout=self.dropout,
+                condition_dim=self.cond_res_channel, dtype=self.dtype,
+            )
+            for _ in range(self.n_block)
+        ]
+        if self.n_cond_res_block > 0:
+            self.cond_resnet = CondResNet(
+                self.cond_res_channel, self.cond_res_kernel,
+                self.n_cond_res_block, dtype=self.dtype)
+        self.out_res = [
+            GatedResBlock(self.res_channel, 1, dtype=self.dtype)
+            for _ in range(self.n_out_res_block)
+        ]
+        self.out_conv = WNConv(self.n_class, (1, 1), dtype=self.dtype)
+
     def __call__(
         self,
         codes: jax.Array,                       # (B, H, W) int
@@ -327,15 +351,10 @@ class PixelSNAIL(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         b, height, width = codes.shape
-        kernel = self.kernel_size + (self.kernel_size % 2 == 0)
 
         x = jax.nn.one_hot(codes, self.n_class, dtype=self.dtype)
-        horizontal = shift_down(CausalConv(
-            self.channel, (kernel // 2, kernel), "down", dtype=self.dtype,
-            name="horizontal")(x))
-        vertical = shift_right(CausalConv(
-            self.channel, ((kernel + 1) // 2, kernel // 2), "downright",
-            dtype=self.dtype, name="vertical")(x))
+        horizontal = shift_down(self.horizontal(x))
+        vertical = shift_right(self.vertical(x))
         out = horizontal + vertical
 
         background = jnp.broadcast_to(
@@ -349,31 +368,18 @@ class PixelSNAIL(nn.Module):
         if cond is not None:
             cond = cond[:, :height, :width]
 
-        for i in range(self.n_block):
-            out = PixelBlock(
-                self.channel, self.res_channel, self.kernel_size,
-                self.n_res_block, attention=self.attention, dropout=self.dropout,
-                condition_dim=self.cond_res_channel, dtype=self.dtype,
-                name=f"block{i}",
-            )(out, background, condition=cond, train=train)
+        for block in self.blocks:
+            out = block(out, background, condition=cond, train=train)
 
-        for i in range(self.n_out_res_block):
-            out = GatedResBlock(self.res_channel, 1, dtype=self.dtype,
-                                name=f"out_res{i}")(out, train=train)
+        for res in self.out_res:
+            out = res(out, train=train)
         out = nn.elu(out)
-        logits = WNConv(self.n_class, (1, 1), dtype=self.dtype, name="out_conv")(out)
-        return logits  # (B, H, W, n_class)
-
-    @nn.nowrap
-    def _has_condition(self) -> bool:
-        return self.n_cond_res_block > 0
+        return self.out_conv(out)  # (B, H, W, n_class)
 
     def compute_condition(self, condition: jax.Array, train: bool = False) -> jax.Array:
         """CondResNet + 2× nearest upsample (reference ``pixelsnail.py:416-423``);
         call once per sample run and pass the result as ``condition_features``."""
         c = jax.nn.one_hot(condition, self.n_class, dtype=self.dtype)
-        c = CondResNet(self.cond_res_channel, self.cond_res_kernel,
-                       self.n_cond_res_block, dtype=self.dtype,
-                       name="cond_resnet")(c, train=train)
+        c = self.cond_resnet(c, train=train)
         b, h, w, f = c.shape
         return jax.image.resize(c, (b, h * 2, w * 2, f), method="nearest")
