@@ -160,3 +160,17 @@ def test_embed_net_part_head(rng):
     assert len(feats) == 6 and len(logits) == 6
     assert feats[0].shape == (2, 512) and logits[0].shape == (2, 10)
     assert feat_all.shape == (2, 6 * 512)
+
+
+def test_embed_net_nonlocal_variant(rng):
+    """old_model.py embed_net2 capability: NL-interleaved trunk."""
+    from vqvae2_tpu.models.embed_net import EmbedNet
+
+    model = EmbedNet(class_num=5, arch="resnet18", no_local="on")
+    rgb = jnp.asarray(rng.normal(size=(2, 96, 48, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xRGB=rgb, modal=1,
+                           with_feature=True)
+    assert any(k.startswith("NL") for k in variables["params"]["nl_trunk"])
+    feat_pool, logits, x4, mask, x3 = model.apply(
+        variables, xRGB=rgb, modal=1, with_feature=True)
+    assert feat_pool.shape == (2, 512) and logits.shape == (2, 5)

@@ -1,0 +1,59 @@
+"""One-step integration tests for the adaptation/ReID trainers on tiny
+synthetic SYSU data (CPU mesh — the TPU path shares the same jitted step)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_sysu(tmp_path_factory):
+    from vqvae2_tpu.train.reid import make_synthetic_sysu
+
+    d = tmp_path_factory.mktemp("sysu")
+    return make_synthetic_sysu(str(d), n_ids=4, per_id=4, h=48, w=24)
+
+
+@pytest.mark.slow
+def test_reid_trainer_one_step(tiny_sysu):
+    from vqvae2_tpu.train import reid
+
+    args = reid.build_argparser().parse_args([
+        "--path", tiny_sysu, "--steps", "2", "--batch_size", "2",
+        "--num_pos", "2", "--arch", "resnet18", "--img_h", "48",
+        "--img_w", "24", "--log_every", "1",
+    ])
+    m = reid.train(args)
+    for k in ("loss", "id", "tri", "part", "unsup", "c2g"):
+        assert np.isfinite(m[k]), f"{k} not finite: {m}"
+
+
+@pytest.mark.slow
+def test_gray2color_trainer_one_step(tiny_sysu):
+    from vqvae2_tpu.train import gray2color
+
+    args = gray2color.build_argparser().parse_args([
+        "--path", tiny_sysu, "--steps", "2", "--batch_size", "2",
+        "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
+    ])
+    m = gray2color.train(args)
+    assert np.isfinite(m["loss"]) and np.isfinite(m["latent"])
+
+
+@pytest.mark.slow
+def test_deep_adaptive_trainer_one_step(tmp_path_factory):
+    from vqvae2_tpu.train import vqvae_deep
+    from vqvae2_tpu.train.reid import make_synthetic_sysu
+
+    # deep hierarchy needs H/8, W/8 even (top stride-2 must invert exactly)
+    d = make_synthetic_sysu(str(tmp_path_factory.mktemp("sysu_deep")),
+                            n_ids=4, per_id=4, h=64, w=32)
+    args = vqvae_deep.build_argparser().parse_args([
+        "--path", d, "--steps", "2", "--batch_size", "2",
+        "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
+    ])
+    m = vqvae_deep.train(args)
+    for k in ("loss_reid", "loss_gen", "recon", "latent"):
+        assert np.isfinite(m[k]), f"{k} not finite: {m}"

@@ -151,3 +151,53 @@ def test_retrieval(query_feat, q_l, q_cam, gall_feat, g_l, g_cam,
     else:
         distmat = cosine_distmat(query_feat, gall_feat)
     return eval_sysu(distmat, q_l, g_l, q_cam, g_cam)
+
+
+def validate(model, variables, data_path: str, mode: str = "all",
+             test_batch: int = 50, img_size=(144, 288),
+             trials: int = 1, seed: int = 0) -> float:
+    """End-to-end SYSU validation (reference ``validate``/``testAll``,
+    reid_tools.py:82-159): build query/gallery per protocol, extract features
+    with the jitted eval forward, run cosine retrieval, average over
+    ``trials`` gallery resamplings.  Returns mAP (and prints the CMC line)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.data.sysu import TestData, process_sysu
+
+    test_mode = {"Vis": (1, 1), "Ir": (2, 2)}.get(mode, (1, 2))
+    rng = np.random.default_rng(seed)
+
+    @jax.jit
+    def fwd_rgb(imgs):
+        return model.apply(variables, xRGB=imgs, modal=1)[1]
+
+    @jax.jit
+    def fwd_ir(imgs):
+        return model.apply(variables, xIR=imgs, modal=2)[1]
+
+    def extract(files, labels, cams, modal):
+        td = TestData(files, labels, cams, img_size=img_size)
+        fwd = fwd_rgb if modal == 1 else fwd_ir
+        feats = []
+        for imgs, lab, cam in td.batches(test_batch):
+            feats.append(np.asarray(fwd(jnp.asarray(imgs))))
+        return np.concatenate(feats), td.test_label, td.test_cam - 1
+
+    qf, ql, qc = extract(*process_sysu(data_path, data="query", mode=mode,
+                                       rng=rng), test_mode[1])
+    cmc_sum, map_sum, minp_sum = None, 0.0, 0.0
+    for _ in range(trials):
+        gf, gl, gc = extract(*process_sysu(data_path, data="gallery",
+                                           mode=mode, single_shot=True,
+                                           rng=rng), test_mode[0])
+        cmc, mAP, mINP = test_retrieval(qf, ql, qc, gf, gl, gc)
+        cmc_sum = cmc if cmc_sum is None else cmc_sum + cmc
+        map_sum += mAP
+        minp_sum += mINP
+    cmc = cmc_sum / trials
+    mAP, mINP = map_sum / trials, minp_sum / trials
+    print(f"FC:   Rank-1: {cmc[0]:.2%} | Rank-5: {cmc[4]:.2%} | "
+          f"Rank-10: {cmc[9]:.2%}| Rank-20: {cmc[19]:.2%}| "
+          f"mAP: {mAP:.2%}| mINP: {mINP:.2%}", flush=True)
+    return mAP

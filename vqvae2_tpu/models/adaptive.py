@@ -43,7 +43,7 @@ class ModelAdaptive(nn.Module):
     def setup(self):
         self.person_id = EmbedNet(self.class_num, arch=self.arch)
         self.fusion = NonLocal(reduc_ratio=1, dtype=self.dtype)
-        self.adaptor = VQVAE(dtype=self.dtype)
+        self.adaptor = VQVAE(with_ir_head=True, dtype=self.dtype)
         self.encoder_s = [
             Encoder(self.style_dim, 3, 32, stride=2, dtype=self.dtype),
             Encoder(self.style_dim, 3, 32, stride=2, dtype=self.dtype),
@@ -165,6 +165,17 @@ class ModelAdaptive_Deep(nn.Module):
     def __call__(self, img: jax.Array, style: Optional[jax.Array] = None,
                  train: bool = False):
         return self.adaptor(img, style, train=train)
+
+    def init_probe(self, img: jax.Array):
+        """Touch every submodule once so ``init`` creates all parameters
+        (person branch, fusions, adaptor, discriminator)."""
+        feat, score, feat2d, act_map, x3 = self.encode_person(img)
+        enc_b, enc_t = self.encode_content(img)
+        cb, ct = self.fuse(enc_b, enc_t, x3, feat2d)
+        content, diff = self.quantize_content(cb, ct)
+        dec = self.decode(content, feat)
+        d = self.discriminate(feat)
+        return dec
 
 
 class ModelAdaptiveBi_Deep(nn.Module):

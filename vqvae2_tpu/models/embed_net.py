@@ -71,11 +71,17 @@ class PartHead(nn.Module):
 
 
 class EmbedNet(nn.Module):
-    """Reference ``embed_net`` (``model.py:74-207``)."""
+    """Reference ``embed_net`` (``model.py:74-207``).
+
+    ``no_local="on"`` swaps the plain trunk for the Non-local-interleaved
+    trunk — the ``embed_net2`` variant of ``old_model.py:99-214`` (third
+    stem + NL blocks at fixed indices) without the parsing head.
+    """
 
     class_num: int
     arch: str = "resnet50"
     gm_pool: str = "on"
+    no_local: str = "off"
     part: bool = False
     dtype: Dtype = jnp.float32
 
@@ -83,6 +89,10 @@ class EmbedNet(nn.Module):
         self.thermal_module = ResNetStem(self.arch, dtype=self.dtype)
         self.visible_module = ResNetStem(self.arch, dtype=self.dtype)
         self.z_module = ResNetStem(self.arch, dtype=self.dtype)
+        if self.no_local == "on":
+            from vqvae2_tpu.part.part_model import NLTrunk
+
+            self.nl_trunk = NLTrunk(self.arch, dtype=self.dtype)
         self.base_resnet = ResNetTrunk(self.arch, last_stride_1=True,
                                        dtype=self.dtype)
         self._pool_dim = pool_dim(self.arch)
@@ -126,7 +136,10 @@ class EmbedNet(nn.Module):
         else:
             raise ValueError(f"modal {modal}")
 
-        x3, x4 = self.base_resnet(x, train=train)
+        if self.no_local == "on":
+            _, x3, x4 = self.nl_trunk(x, train=train)
+        else:
+            x3, x4 = self.base_resnet(x, train=train)
         person_mask = compute_mask(x4)
 
         if self.part:

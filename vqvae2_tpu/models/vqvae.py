@@ -225,6 +225,14 @@ class VQVAE(nn.Module):
         dec = self.decode(quant_t, quant_b)
         return dec, diff
 
+    def forward_ir(self, x: jax.Array, train: bool = False):
+        """Forward with the extra IR head: ``(dec, diff, dec_ir)`` — the
+        3-tuple the fork's ModelAdaptive trainer consumes
+        (``train_vqvae.py:72``; requires ``with_ir_head=True``)."""
+        quant_t, quant_b, diff, _, _ = self.encode(x, train=train)
+        return (self.decode(quant_t, quant_b), diff,
+                self.decode_ir(quant_t, quant_b))
+
     def encode(self, x: jax.Array, train: bool = False):
         """Reference ``encode`` (``vqvae.py:223-240``): returns
         ``(quant_t, quant_b, diff, id_t, id_b)`` — all NHWC, no permutes."""

@@ -167,10 +167,14 @@ def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS):
     here one global batch is laid out across all chips in one call.
     """
     mesh = mesh or default_mesh()
+    n = mesh.shape[axis]
 
     def _put(x):
         x = np.asarray(x)
-        spec = P(axis, *([None] * (x.ndim - 1)))
+        # batch not divisible by the axis (tiny smoke runs): replicate rather
+        # than fail — XLA still parallelizes within the single large program.
+        divisible = x.ndim >= 1 and x.shape[0] % n == 0
+        spec = P(axis, *([None] * (x.ndim - 1))) if divisible else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(_put, batch)
