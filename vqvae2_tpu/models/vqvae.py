@@ -71,7 +71,8 @@ class Quantize(nn.Module):
         )
 
         flat = x.reshape(-1, self.dim)
-        indices, quantized, csum, esum = nearest_code(flat, embed.value)
+        indices, quantized, csum, esum = nearest_code(
+            flat, embed.value, with_stats=train and not self.is_initializing())
         indices = indices.reshape(x.shape[:-1])
         quantized = quantized.reshape(x.shape).astype(x.dtype)
 

@@ -77,6 +77,28 @@ def nearest_code_reference(
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
+def _quantize_kernel_nostats(x_ref, embed_ref, idx_ref, q_ref):
+    """Eval/extract flavor: distances + argmin + lookup only (no EMA stats —
+    the encode path of extract_code.py / inference never consumes them)."""
+    x = x_ref[:].astype(jnp.float32)
+    embed = embed_ref[:].astype(jnp.float32)
+    score = 2.0 * jax.lax.dot_general(
+        x, embed, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    score = (score - jnp.sum(x * x, axis=1)[:, None]
+             - jnp.sum(embed * embed, axis=1)[None, :])
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)
+    idx_ref[:] = best[:, None]
+    onehot = (
+        best[:, None] == jax.lax.broadcasted_iota(jnp.int32,
+                                                  (x.shape[0], embed.shape[0]), 1)
+    ).astype(jnp.float32)
+    q_ref[:] = jnp.dot(onehot, embed,
+                       preferred_element_type=jnp.float32).astype(q_ref.dtype)
+
+
 def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
     step = pl.program_id(0)
 
@@ -127,7 +149,40 @@ def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
-def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 1024):
+def _nearest_code_pallas_nostats(flat: jax.Array, embed: jax.Array,
+                                 block_n: int = 2048):
+    n, d = flat.shape
+    k = embed.shape[0]
+    n_pad = _round_up(max(n, 8), block_n)
+    if n_pad != n:
+        flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+    grid = (n_pad // block_n,)
+    idx, q = pl.pallas_call(
+        _quantize_kernel_nostats,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, d), flat.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * k * d * 2,
+            bytes_accessed=(n_pad * d + k * d) * 4 + n_pad * (4 + d * 4),
+            transcendentals=0,
+        ),
+    )(flat, embed)
+    return idx[:n, 0], q[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 2048):
     n, d = flat.shape
     k = embed.shape[0]
 
@@ -199,18 +254,43 @@ def _ncp_bwd(res, g):
 _nearest_code_pallas_nograd.defvjp(_ncp_fwd, _ncp_bwd)
 
 
+@jax.custom_vjp
+def _nearest_code_pallas_nostats_nograd(flat, embed):
+    return _nearest_code_pallas_nostats(flat, embed)
+
+
+def _ncpn_fwd(flat, embed):
+    return _nearest_code_pallas_nostats(flat, embed), (flat, embed)
+
+
+def _ncpn_bwd(res, g):
+    flat, embed = res
+    return jnp.zeros_like(flat), jnp.zeros_like(embed)
+
+
+_nearest_code_pallas_nostats_nograd.defvjp(_ncpn_fwd, _ncpn_bwd)
+
+
 def nearest_code(
-    flat: jax.Array, embed: jax.Array, block_n: int = 1024
+    flat: jax.Array, embed: jax.Array, block_n: int = 2048,
+    with_stats: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused nearest-code search; Pallas on TPU, XLA elsewhere.
 
     Same contract as :func:`nearest_code_reference`.  Non-differentiable
     (zero vjp) — wrap with an explicit straight-through estimator.
+    ``with_stats=False`` skips the EMA sufficient-statistics matmuls (the
+    eval/extract path never consumes them) and returns zeros in their place.
     """
     if flat.ndim != 2 or embed.ndim != 2 or flat.shape[1] != embed.shape[1]:
         raise ValueError(f"bad shapes {flat.shape} vs {embed.shape}")
     if jax.default_backend() == "tpu":
-        return _nearest_code_pallas_nograd(flat, embed)
+        if with_stats:
+            return _nearest_code_pallas_nograd(flat, embed)
+        idx, q = _nearest_code_pallas_nostats_nograd(flat, embed)
+        k = embed.shape[0]
+        return (idx, q, jnp.zeros((k,), jnp.float32),
+                jnp.zeros((k, flat.shape[1]), jnp.float32))
     return nearest_code_reference(flat, embed)
 
 
