@@ -65,6 +65,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--ckpt_dir", type=str, default="")
     p.add_argument("--ckpt_name", type=str, default="last")
+    p.add_argument("--torch_ckpt", type=str, default="",
+                   help="reference PyTorch VQVAE checkpoint (e.g. "
+                        "vqvae_560.pt) to import instead of a native ckpt")
     p.add_argument("--name", type=str, default="codes.vq2")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--random_init", action="store_true",
@@ -95,7 +98,15 @@ def main(argv=None):
     )
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, args.size, args.size, 3), jnp.float32))
-    if args.ckpt_dir and not args.random_init:
+    if args.torch_ckpt:
+        import torch
+
+        from vqvae2_tpu.utils.torch_import import import_vqvae
+
+        ckpt = torch.load(args.torch_ckpt, map_location="cpu")
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        variables = import_vqvae(sd, variables)
+    elif args.ckpt_dir and not args.random_init:
         from vqvae2_tpu.train.vqvae import TrainState  # template for restore
         import optax
         tx = optax.adam(1e-4)
