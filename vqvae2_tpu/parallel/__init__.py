@@ -59,6 +59,23 @@ def default_mesh() -> Mesh:
     return make_mesh()
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization — the SPMD replacement for the reference's
+    tcp:// rendezvous + per-GPU process spawn (``distributed/launch.py:22-69``).
+
+    One call per host process; after it, ``jax.devices()`` spans all hosts
+    and every mesh built here covers the full slice.  No-op when the args
+    are absent and no cluster env is detected (single-host dev flow — the
+    same graceful degradation the reference's helpers have)."""
+    if coordinator_address is None and num_processes is None:
+        return  # single host
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def launch(fn, *args, mesh: Optional[Mesh] = None, **kwargs):
     """SPMD 'launcher' — replaces ``dist.launch(fn, n_gpu, ...)``
     (reference ``distributed/launch.py:22-49``).  There is no process spawn:

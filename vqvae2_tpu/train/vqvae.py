@@ -120,6 +120,9 @@ def train(args) -> Dict[str, float]:
     eval_step = make_eval_step(model)
 
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
+    from vqvae2_tpu.utils.metrics import TensorBoardWriter
+
+    tb = TensorBoardWriter(args.logdir)
 
     it = iterate_batches(dataset, args.batch_size, seed=args.seed,
                          epochs=None if args.steps else args.epoch)
@@ -136,6 +139,7 @@ def train(args) -> Dict[str, float]:
             print(f"step {n_done}/{total_steps} "
                   f"loss {m['loss']:.4f} mse {m['recon_mse']:.4f} "
                   f"latent {m['latent']:.4f} ({rate:.1f} img/s)", flush=True)
+            tb.add_scalars(m, n_done, prefix="train/")
             metrics_hist = m
         if args.sample_every and n_done % args.sample_every == 0 and par.is_primary():
             dec = eval_step(state, x)
@@ -172,6 +176,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sample_dir", type=str, default="sample")
     p.add_argument("--sample_every", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--logdir", type=str, default="",
+                   help="TensorBoard scalar logdir (optional)")
     return p
 
 

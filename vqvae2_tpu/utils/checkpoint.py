@@ -44,6 +44,9 @@ class CheckpointManager:
     def _save(self, name: str, state) -> None:
         path = os.path.join(self.directory, name)
         self._ckptr.save(path, _to_host(state), force=True)
+        # Orbax saves are async; block so short-lived driver processes don't
+        # race interpreter shutdown mid-commit.
+        self._ckptr.wait_until_finished()
 
     def save_periodic(self, step: int, state) -> None:
         self._save(f"step_{step:07d}", state)
