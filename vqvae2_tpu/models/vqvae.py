@@ -71,8 +71,19 @@ class Quantize(nn.Module):
         )
 
         flat = x.reshape(-1, self.dim)
+        with_stats = train and not self.is_initializing()
         indices, quantized, csum, esum = nearest_code(
-            flat, embed.value, with_stats=train and not self.is_initializing())
+            flat, embed.value, with_stats=with_stats)
+
+        if with_stats:
+            # codebook-health telemetry: perplexity of the code usage
+            # distribution (exp entropy; n_embed = perfectly uniform usage).
+            # Retrieved via mutable=["intermediates"]; absent from the return
+            # signature to keep reference API parity.
+            probs = csum / jnp.maximum(jnp.sum(csum), 1.0)
+            perplexity = jnp.exp(-jnp.sum(
+                probs * jnp.log(jnp.clip(probs, 1e-10, None))))
+            self.sow("intermediates", "perplexity", perplexity)
         indices = indices.reshape(x.shape[:-1])
         quantized = quantized.reshape(x.shape).astype(x.dtype)
 

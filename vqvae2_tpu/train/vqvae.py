@@ -107,6 +107,7 @@ def train(args) -> Dict[str, float]:
         in_channel=3, channel=args.channel, n_res_block=args.n_res_block,
         n_res_channel=args.n_res_channel, embed_dim=args.embed_dim,
         n_embed=args.n_embed,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     if args.sched == "cycle":
         tx = schedules.cycle_adam(args.lr, total_steps)
@@ -115,6 +116,13 @@ def train(args) -> Dict[str, float]:
 
     state = create_state(model, tx, jax.random.PRNGKey(args.seed),
                          (1, args.size, args.size, 3))
+    if args.resume and args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        latest = mgr.latest_step()
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        state = mgr.restore(name, state)
+        if par.is_primary():
+            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
     state = par.replicate(state, mesh)
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
@@ -172,6 +180,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_embed", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv/matmul compute (params stay fp32; the "
+                        "quantizer distance search stays exact fp32)")
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpt_dir", type=str, default="")
     p.add_argument("--sample_dir", type=str, default="sample")
     p.add_argument("--sample_every", type=int, default=0)
