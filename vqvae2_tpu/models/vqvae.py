@@ -43,6 +43,10 @@ class Quantize(nn.Module):
     decay: float = 0.99
     eps: float = 1e-5
     axis_name: Optional[str] = None  # set under shard_map; None under GSPMD
+    # Beyond-parity option (PAPERS.md codebook-collapse literature): when >0,
+    # codes whose EMA cluster_size falls below the threshold are re-seeded
+    # from random batch vectors each training step, keeping utilization high.
+    restart_threshold: float = 0.0
 
     @nn.compact
     def __call__(
@@ -97,9 +101,22 @@ class Quantize(nn.Module):
             new_avg = embed_avg.value * self.decay + (1 - self.decay) * esum
             n = jnp.sum(new_cluster)
             smoothed = (new_cluster + self.eps) / (n + self.n_embed * self.eps) * n
+            new_embed = new_avg / smoothed[:, None]
+
+            if self.restart_threshold > 0:
+                # dead-code restart: re-seed rarely-used codes from batch
+                # vectors (deterministic draw from the batch content)
+                dead = new_cluster < self.restart_threshold
+                take = jnp.arange(self.n_embed) % flat.shape[0]
+                repl = jax.lax.stop_gradient(flat[take]).astype(jnp.float32)
+                new_embed = jnp.where(dead[:, None], repl, new_embed)
+                new_avg = jnp.where(dead[:, None], repl, new_avg)
+                new_cluster = jnp.where(dead, jnp.ones_like(new_cluster),
+                                        new_cluster)
+
             cluster_size.value = new_cluster
             embed_avg.value = new_avg
-            embed.value = new_avg / smoothed[:, None]
+            embed.value = new_embed
 
         # Commitment loss + straight-through estimator (vqvae.py:72-73).
         diff = jnp.mean(
