@@ -17,10 +17,11 @@ class CocoDetectionDataset:
     normalized, labels (M,)) with padding to ``max_boxes``."""
 
     def __init__(self, img_dir: str, ann_file: str, size: int = 300,
-                 max_boxes: int = 64):
+                 max_boxes: int = 64, with_masks: bool = False):
         self.img_dir = img_dir
         self.size = size
         self.max_boxes = max_boxes
+        self.with_masks = with_masks
         with open(ann_file) as f:
             coco = json.load(f)
         self.images = {im["id"]: im for im in coco["images"]}
@@ -63,23 +64,56 @@ class CocoDetectionDataset:
         if m:
             out_boxes[:m] = np.clip(np.asarray(boxes[:m], np.float32), 0, 1)
             out_labels[:m] = labels[:m]
-        return arr, out_boxes, out_labels, img_id
+        if not self.with_masks:
+            return arr, out_boxes, out_labels, img_id
+
+        # rasterize segmentation polygons (reference fashion.py:30-61 builds
+        # mask targets from COCO annotations) at the model resolution
+        from PIL import Image as PImage, ImageDraw
+
+        out_masks = np.zeros((self.max_boxes, self.size, self.size), np.uint8)
+        mi = 0
+        for a in self.anns_by_img.get(img_id, []):
+            x, y, bw, bh = a["bbox"]
+            if bw <= 1 or bh <= 1 or mi >= self.max_boxes:
+                continue
+            seg = a.get("segmentation")
+            canvas = PImage.new("L", (self.size, self.size), 0)
+            draw = ImageDraw.Draw(canvas)
+            sx, sy = self.size / w0, self.size / h0
+            if isinstance(seg, list) and seg:
+                for poly in seg:
+                    pts = [(poly[i] * sx, poly[i + 1] * sy)
+                           for i in range(0, len(poly) - 1, 2)]
+                    if len(pts) >= 3:
+                        draw.polygon(pts, fill=1)
+            else:  # no polygon: fall back to the box as the mask
+                draw.rectangle([x * sx, y * sy, (x + bw) * sx, (y + bh) * sy],
+                               fill=1)
+            out_masks[mi] = np.asarray(canvas, np.uint8)
+            mi += 1
+        return arr, out_boxes, out_labels, img_id, out_masks
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True) -> Iterator:
+                drop_last: bool = True, with_masks: bool = False) -> Iterator:
         order = (np.random.default_rng(seed).permutation(len(self))
                  if shuffle else np.arange(len(self)))
         end = len(order) - (len(order) % batch_size if drop_last else 0)
         for s in range(0, end, batch_size):
             rows = [self[int(i)] for i in order[s: s + batch_size]]
-            yield (np.stack([r[0] for r in rows]),
+            out = (np.stack([r[0] for r in rows]),
                    np.stack([r[1] for r in rows]),
                    np.stack([r[2] for r in rows]),
                    [r[3] for r in rows])
+            if with_masks:
+                assert self.with_masks, "dataset built without with_masks"
+                out = out + (np.stack([r[4] for r in rows]),)
+            yield out
 
 
 def make_synthetic_coco(tmpdir: str, n: int = 16, size: int = 300,
-                        n_classes: int = 13, seed: int = 0) -> Tuple[str, str]:
+                        n_classes: int = 13, seed: int = 0,
+                        with_masks: bool = False) -> Tuple[str, str]:
     """Fabricate a tiny COCO-format dataset for smoke runs."""
     from PIL import Image
 
@@ -95,14 +129,19 @@ def make_synthetic_coco(tmpdir: str, n: int = 16, size: int = 300,
         images.append({"id": i, "file_name": name, "width": size,
                        "height": size})
         for _ in range(int(rng.integers(1, 4))):
-            w, h = rng.integers(30, 120, 2)
+            lo, hi = max(size // 10, 4), max(size * 2 // 5, 8)
+            w, h = rng.integers(lo, hi, 2)
             x = int(rng.integers(0, size - w))
             y = int(rng.integers(0, size - h))
-            annotations.append({
+            ann = {
                 "id": aid, "image_id": i, "bbox": [x, y, int(w), int(h)],
                 "category_id": int(rng.integers(1, n_classes + 1)),
                 "iscrowd": 0, "area": int(w * h),
-            })
+            }
+            if with_masks:  # box-shaped polygon
+                ann["segmentation"] = [[x, y, x + int(w), y,
+                                        x + int(w), y + int(h), x, y + int(h)]]
+            annotations.append(ann)
             aid += 1
     ann = {
         "images": images, "annotations": annotations,
