@@ -1,0 +1,55 @@
+"""Checkpoint/resume integration: the stage-1 trainer must restore its state
+(step counter, params, EMA codebook, optimizer) and continue training."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_vqvae_trainer_resume(tmp_path):
+    from vqvae2_tpu.train import vqvae as tv
+
+    base = [
+        "--synthetic", "--steps", "4", "--batch_size", "8", "--size", "32",
+        "--channel", "16", "--n_res_block", "1", "--n_res_channel", "8",
+        "--embed_dim", "8", "--log_every", "2",
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+    ]
+    args = tv.build_argparser().parse_args(base)
+    m1 = tv.train(args)
+    assert np.isfinite(m1["loss"])
+
+    args2 = tv.build_argparser().parse_args(base + ["--resume"])
+    m2 = tv.train(args2)
+    assert np.isfinite(m2["loss"])
+    # resumed training should not be worse than a wildly different loss scale
+    assert abs(m2["loss"] - m1["loss"]) < 1.0
+
+
+@pytest.mark.slow
+def test_pixelsnail_trainer_resume(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.data.codestore import CodeStoreWriter
+    from vqvae2_tpu.train import pixelsnail as ps
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "codes.vq2")
+    with CodeStoreWriter(path, (4, 4), (8, 8)) as w:
+        w.append(rng.integers(0, 16, (32, 4, 4)).astype(np.int16),
+                 rng.integers(0, 16, (32, 8, 8)).astype(np.int16),
+                 np.zeros(32, np.int32), [f"{i}" for i in range(32)])
+
+    base = [path, "--steps", "4", "--batch", "8", "--channel", "16",
+            "--n_res_block", "1", "--n_res_channel", "16", "--n_class", "16",
+            "--log_every", "2", "--ckpt_dir", str(tmp_path / "ck")]
+    args = ps.build_argparser().parse_args(base)
+    args.hier = "top"
+    # force a periodic save each epoch for the resume to find
+    m1 = ps.train(args)
+    assert np.isfinite(m1["loss"])
+    args2 = ps.build_argparser().parse_args(base + ["--resume"])
+    args2.hier = "top"
+    m2 = ps.train(args2)
+    assert np.isfinite(m2["loss"])

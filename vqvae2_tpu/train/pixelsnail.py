@@ -114,9 +114,11 @@ def train(args):
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
     if ckpt and args.resume:
         latest = ckpt.latest_step()
-        if latest is not None:
-            state = ckpt.restore(f"step_{latest:07d}", state)
-            state = par.replicate(state, mesh)
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        state = ckpt.restore(name, state)
+        state = par.replicate(state, mesh)
+        if par.is_primary():
+            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
 
     order_rng = np.random.default_rng(args.seed)
     t0, n_done, m = time.perf_counter(), 0, {}
