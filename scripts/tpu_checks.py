@@ -1,0 +1,172 @@
+"""One-command hardware verification: runs every TPU-specific correctness and
+performance check on the real chip.  (The pytest suite deliberately runs on a
+virtual CPU mesh; this script is its hardware counterpart — see
+.claude/skills/verify/SKILL.md.)
+
+Usage: python scripts/tpu_checks.py [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def check(name):
+    def deco(fn):
+        fn._check_name = name
+        return fn
+    return deco
+
+
+@check("pallas quantizer == XLA (indices exact, stats close)")
+def check_quantize():
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.ops import quantize as qz
+
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.normal(size=(32768, 64)).astype(np.float32))
+    embed = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+    idx, q, cs, es = qz._nearest_code_pallas(flat, embed)
+    ridx, rq, rcs, res_ = jax.jit(qz.nearest_code_reference)(flat, embed)
+    assert (np.asarray(idx) == np.asarray(ridx)).all(), "index mismatch"
+    assert np.allclose(np.asarray(cs), np.asarray(rcs)), "cluster sums"
+    i2, q2 = qz._nearest_code_pallas_nostats(flat, embed)
+    assert (np.asarray(i2) == np.asarray(ridx)).all(), "nostats index mismatch"
+    return "32k rows, 512 codes: exact"
+
+
+@check("fused inplace-ABN fwd+bwd vs autodiff")
+def check_abn():
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.ops.inplace_abn import batch_moments, inplace_abn
+
+    rng = np.random.default_rng(0)
+    c = 256
+    x = jnp.asarray(rng.normal(size=(16, 48, 16, c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(c,)) + 0.5, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+
+    def fused(x, w, b):
+        mean, var = batch_moments(x)
+        z = inplace_abn(x, w, b, jax.lax.stop_gradient(mean),
+                        jax.lax.stop_gradient(var))
+        return jnp.sum(jnp.sin(z))
+
+    def unfused(x, w, b):
+        mean, var = batch_moments(x)
+        w_t = jnp.abs(w) + 1e-5
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5) * w_t + b
+        return jnp.sum(jnp.sin(jnp.where(y >= 0, y, 0.01 * y)))
+
+    gf = jax.jit(jax.grad(fused, argnums=(0, 1, 2)))(x, w, b)
+    gu = jax.jit(jax.grad(unfused, argnums=(0, 1, 2)))(x, w, b)
+    errs = [float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+            for a, b in zip(gf, gu)]
+    assert max(errs) < 1e-4, f"grad errs {errs}"
+    return f"max grad rel err {max(errs):.2e}"
+
+
+@check("incremental sampler == full-forward sampler (same draws)")
+def check_incremental(fast: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.models.incremental import sample_prior_incremental
+    from vqvae2_tpu.models.pixelsnail import PixelSNAIL
+    from vqvae2_tpu.models.sampling import sample_prior
+
+    model = PixelSNAIL(shape=(8, 8), n_class=32, channel=32, kernel_size=5,
+                       n_block=2, n_res_block=2, res_channel=32, dropout=0.0)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8), jnp.int32))
+    a = sample_prior(model, v, jax.random.PRNGKey(7), 2, (8, 8))
+    b = sample_prior_incremental(model, v, jax.random.PRNGKey(7), 2)
+    assert (np.asarray(a) == np.asarray(b)).all(), "draw mismatch"
+    return "8x8 grid: bit-identical draws"
+
+
+@check("encode+quantize throughput (bench headline)")
+def check_bench():
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.models.vqvae import VQVAE
+
+    model = VQVAE()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 256, 256, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x[:1])
+
+    n_iter = 20
+
+    @jax.jit
+    def encode_n(v, x):
+        def body(i, acc):
+            _, _, _, id_t, id_b = model.apply(v, x, method=model.encode)
+            return acc + id_t.sum() + id_b.sum()
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.int32))
+
+    int(encode_n(v, x))
+    t0 = time.perf_counter()
+    int(encode_n(v, x))
+    ips = 64 * n_iter / (time.perf_counter() - t0)
+    assert ips > 1000, f"throughput collapsed: {ips}"
+    return f"{ips:,.0f} img/s/chip"
+
+
+@check("full-size incremental sampling rate")
+def check_sampling_rate(fast: bool = False):
+    if fast:
+        return "skipped (--fast)"
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.models.incremental import sample_prior_incremental
+    from vqvae2_tpu.models.pixelsnail import PixelSNAIL
+
+    model = PixelSNAIL(shape=(32, 32), n_class=512, channel=256, kernel_size=5,
+                       n_block=4, n_res_block=4, res_channel=256, dropout=0.1)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32), jnp.int32))
+    np.asarray(sample_prior_incremental(model, v, jax.random.PRNGKey(1), 8))
+    t0 = time.perf_counter()
+    np.asarray(sample_prior_incremental(model, v, jax.random.PRNGKey(2), 8))
+    rate = 1024 / (time.perf_counter() - t0)
+    assert rate > 200, f"sampling rate collapsed: {rate}"
+    return f"{rate:,.0f} steps/s (batch 8, [32,32]x512)"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--fast", action="store_true",
+                   help="skip the slow full-size sampling check")
+    args = p.parse_args()
+
+    import jax
+
+    print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
+    checks = [check_quantize, check_abn, check_incremental, check_bench,
+              check_sampling_rate]
+    failed = 0
+    for fn in checks:
+        name = fn._check_name
+        try:
+            kwargs = {"fast": args.fast} if "fast" in fn.__code__.co_varnames else {}
+            t0 = time.perf_counter()
+            msg = fn(**kwargs)
+            print(f"PASS  {name}: {msg} ({time.perf_counter()-t0:.1f}s)",
+                  flush=True)
+        except Exception as e:
+            failed += 1
+            print(f"FAIL  {name}: {e!r}", flush=True)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
