@@ -185,6 +185,7 @@ def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS):
     """
     mesh = mesh or default_mesh()
     n = mesh.shape[axis]
+    multihost = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
@@ -192,7 +193,12 @@ def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS):
         # than fail — XLA still parallelizes within the single large program.
         divisible = x.ndim >= 1 and x.shape[0] % n == 0
         spec = P(axis, *([None] * (x.ndim - 1))) if divisible else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost and divisible:
+            # each host supplies its local slice of the global batch
+            # (the SPMD analogue of the reference's per-rank DistributedSampler)
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 
