@@ -2,6 +2,7 @@
 re-ranking sanity (perfect clusters stay perfectly ranked)."""
 
 import numpy as np
+import pytest
 
 from vqvae2_tpu.eval.reid import (
     cosine_distmat,
@@ -73,3 +74,35 @@ def test_test_retrieval_cosine(rng):
     g_pids = np.tile(np.arange(4), 2)
     cmc, mAP, mINP = retrieval_eval(q, np.arange(4), None, g, g_pids, None)
     assert cmc[0] == 1.0 and mAP > 0.99
+
+
+@pytest.mark.slow
+def test_validate_end_to_end(tmp_path, rng):
+    """Full SYSU validation protocol through a real (tiny) EmbedNet."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vqvae2_tpu.eval.reid import validate
+    from vqvae2_tpu.models.embed_net import EmbedNet
+
+    root = tmp_path / "SYSU-MM01"
+    (root / "exp").mkdir(parents=True)
+    ids = [1, 2, 3]
+    with open(root / "exp" / "test_id.txt", "w") as f:
+        f.write(",".join(map(str, ids)) + "\n")
+    for cam in [f"cam{i}" for i in range(1, 7)]:
+        for pid in ids:
+            d = root / cam / ("%04d" % pid)
+            d.mkdir(parents=True)
+            for k in range(2):
+                arr = rng.integers(0, 255, size=(64, 32, 3)).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{k:04d}.jpg")
+
+    model = EmbedNet(class_num=3, arch="resnet18")
+    probe = jnp.zeros((1, 72, 36, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xRGB=probe, modal=1,
+                           with_feature=True)
+    mAP = validate(model, variables, str(root), mode="all",
+                   img_size=(36, 72), test_batch=8)
+    assert 0.0 <= mAP <= 1.0

@@ -197,7 +197,8 @@ def validate(model, variables, data_path: str, mode: str = "all",
         minp_sum += mINP
     cmc = cmc_sum / trials
     mAP, mINP = map_sum / trials, minp_sum / trials
-    print(f"FC:   Rank-1: {cmc[0]:.2%} | Rank-5: {cmc[4]:.2%} | "
-          f"Rank-10: {cmc[9]:.2%}| Rank-20: {cmc[19]:.2%}| "
+    r = lambda k: cmc[min(k, len(cmc) - 1)]  # small galleries: clamp rank
+    print(f"FC:   Rank-1: {r(0):.2%} | Rank-5: {r(4):.2%} | "
+          f"Rank-10: {r(9):.2%}| Rank-20: {r(19):.2%}| "
           f"mAP: {mAP:.2%}| mINP: {mINP:.2%}", flush=True)
     return mAP
