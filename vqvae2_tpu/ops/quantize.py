@@ -237,16 +237,16 @@ def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 2048)
 # op boundary; callers implement the straight-through estimator explicitly
 # (models/vqvae.py Quantize.__call__), exactly like the reference detaches
 # around the quantizer (vqvae.py:72-73).
-@jax.custom_vjp
-def _nearest_code_pallas_nograd(flat, embed):
-    return _nearest_code_pallas(flat, embed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _nearest_code_pallas_nograd(flat, embed, block_n: int = 2048):
+    return _nearest_code_pallas(flat, embed, block_n)
 
 
-def _ncp_fwd(flat, embed):
-    return _nearest_code_pallas(flat, embed), (flat, embed)
+def _ncp_fwd(flat, embed, block_n):
+    return _nearest_code_pallas(flat, embed, block_n), (flat, embed)
 
 
-def _ncp_bwd(res, g):
+def _ncp_bwd(block_n, res, g):
     flat, embed = res
     return jnp.zeros_like(flat), jnp.zeros_like(embed)
 
@@ -254,16 +254,16 @@ def _ncp_bwd(res, g):
 _nearest_code_pallas_nograd.defvjp(_ncp_fwd, _ncp_bwd)
 
 
-@jax.custom_vjp
-def _nearest_code_pallas_nostats_nograd(flat, embed):
-    return _nearest_code_pallas_nostats(flat, embed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _nearest_code_pallas_nostats_nograd(flat, embed, block_n: int = 2048):
+    return _nearest_code_pallas_nostats(flat, embed, block_n)
 
 
-def _ncpn_fwd(flat, embed):
-    return _nearest_code_pallas_nostats(flat, embed), (flat, embed)
+def _ncpn_fwd(flat, embed, block_n):
+    return _nearest_code_pallas_nostats(flat, embed, block_n), (flat, embed)
 
 
-def _ncpn_bwd(res, g):
+def _ncpn_bwd(block_n, res, g):
     flat, embed = res
     return jnp.zeros_like(flat), jnp.zeros_like(embed)
 
@@ -285,9 +285,13 @@ def nearest_code(
     if flat.ndim != 2 or embed.ndim != 2 or flat.shape[1] != embed.shape[1]:
         raise ValueError(f"bad shapes {flat.shape} vs {embed.shape}")
     if jax.default_backend() == "tpu":
+        # adapt the row tile to the input so small feature maps don't pay a
+        # 2048-row pad (e.g. a 16x16 top grid at batch 2 is 512 rows)
+        n = flat.shape[0]
+        eff_block = block_n if n >= block_n else _round_up(max(n, 8), 8)
         if with_stats:
-            return _nearest_code_pallas_nograd(flat, embed)
-        idx, q = _nearest_code_pallas_nostats_nograd(flat, embed)
+            return _nearest_code_pallas_nograd(flat, embed, eff_block)
+        idx, q = _nearest_code_pallas_nostats_nograd(flat, embed, eff_block)
         k = embed.shape[0]
         return (idx, q, jnp.zeros((k,), jnp.float32),
                 jnp.zeros((k, flat.shape[1]), jnp.float32))
