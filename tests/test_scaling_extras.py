@@ -70,3 +70,25 @@ def test_dead_code_restart(rng):
     # cluster sizes reset to 1
     np.testing.assert_allclose(np.asarray(nv1["vq_stats"]["cluster_size"]),
                                1.0)
+
+
+def test_remat_matches_plain(rng):
+    """remat=True must be numerically identical (fwd and grads) — it only
+    changes what the backward recomputes."""
+    import optax
+
+    from vqvae2_tpu.train.vqvae import create_state, make_train_step
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    outs = []
+    for remat in (False, True):
+        model = VQVAE(channel=16, n_res_block=1, n_res_channel=8, embed_dim=8,
+                      n_embed=16, remat=remat)
+        tx = optax.adam(1e-3)
+        state = create_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3))
+        step = make_train_step(model, tx)
+        new_state, m = step(state, x)
+        outs.append((float(m["loss"]),
+                     np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)

@@ -225,27 +225,32 @@ class VQVAE(nn.Module):
     with_ir_head: bool = False
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    # rematerialize encoder/decoder activations in the backward pass — the
+    # jax.checkpoint HBM-for-FLOPs trade for large batches/resolutions
+    remat: bool = False
 
     def setup(self):
         dt = self.dtype
-        self.enc_b = Encoder(self.channel, self.n_res_block, self.n_res_channel,
-                             stride=4, dtype=dt)
-        self.enc_t = Encoder(self.channel, self.n_res_block, self.n_res_channel,
-                             stride=2, dtype=dt)
+        Enc = nn.remat(Encoder) if self.remat else Encoder
+        Dec = nn.remat(Decoder) if self.remat else Decoder
+        self.enc_b = Enc(self.channel, self.n_res_block, self.n_res_channel,
+                         stride=4, dtype=dt)
+        self.enc_t = Enc(self.channel, self.n_res_block, self.n_res_channel,
+                         stride=2, dtype=dt)
         self.quantize_conv_t = nn.Conv(self.embed_dim, (1, 1), dtype=dt)
         self.quantize_t = Quantize(self.embed_dim, self.n_embed, self.decay,
                                    axis_name=self.axis_name)
-        self.dec_t = Decoder(self.embed_dim, self.channel, self.n_res_block,
+        self.dec_t = Dec(self.embed_dim, self.channel, self.n_res_block,
                              self.n_res_channel, stride=2, dtype=dt)
         self.quantize_conv_b = nn.Conv(self.embed_dim, (1, 1), dtype=dt)
         self.quantize_b = Quantize(self.embed_dim, self.n_embed, self.decay,
                                    axis_name=self.axis_name)
         self.upsample_t = nn.ConvTranspose(self.embed_dim, (4, 4), strides=(2, 2),
                                            padding="SAME", dtype=dt)
-        self.dec = Decoder(self.in_channel, self.channel, self.n_res_block,
+        self.dec = Dec(self.in_channel, self.channel, self.n_res_block,
                            self.n_res_channel, stride=4, dtype=dt)
         if self.with_ir_head:
-            self.dec_ir = Decoder(1, self.channel, self.n_res_block,
+            self.dec_ir = Dec(1, self.channel, self.n_res_block,
                                   self.n_res_channel, stride=4, dtype=dt)
 
     def __call__(self, x: jax.Array, train: bool = False):
