@@ -97,12 +97,21 @@ def _import_sequential_convs(params: Dict, torch_prefix: str,
     assert len(ours) == len(torch_convs), (
         f"{torch_prefix}: {len(torch_convs)} torch convs vs {len(ours)} ours")
     for dst, (w, b) in zip(ours, torch_convs):
-        if w.shape[2] == dst["kernel"].shape[0] and \
-                w.shape[0] == dst["kernel"].shape[3] and \
-                w.shape[1] == dst["kernel"].shape[2]:
-            dst["kernel"] = conv_kernel(w)           # regular conv
+        dk = dst["kernel"].shape  # (kh, kw, in, out)
+        as_conv = (w.shape[2], w.shape[3], w.shape[1], w.shape[0]) == tuple(dk)
+        as_tconv = (w.shape[2], w.shape[3], w.shape[0], w.shape[1]) == tuple(dk)
+        if as_conv and as_tconv:
+            # in == out is ambiguous by shape; in these stacks only the
+            # upsampling (4,4)-stride-2 layers are transposed, and every
+            # square-channel conv here is 1x1 or 3x3 — disambiguate by kernel
+            as_tconv = w.shape[2] == 4
+            as_conv = not as_tconv
+        if as_conv:
+            dst["kernel"] = conv_kernel(w)
+        elif as_tconv:
+            dst["kernel"] = conv_transpose_kernel(w)
         else:
-            dst["kernel"] = conv_transpose_kernel(w)  # transposed conv
+            raise ValueError(f"cannot map torch weight {w.shape} onto {dk}")
         if b is not None:
             dst["bias"] = jnp.asarray(b)
 
