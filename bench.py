@@ -40,12 +40,22 @@ def bench_tpu():
 
     # Loop inside one jit and fetch a scalar: per-dispatch tunnel latency and
     # async-dispatch artifacts would otherwise dominate/undercount the timing.
+    # The carried ~1e-12 data-dependent input perturbation is load-bearing:
+    # without it XLA's while-loop-invariant code motion hoists the entire
+    # encode out of the loop and the "n_iter" timing measures ONE iteration.
     @jax.jit
     def encode_n(variables, x):
-        def body(i, acc):
-            _, _, _, id_t, id_b = model.apply(variables, x, method=model.encode)
-            return acc + id_t.sum() + id_b.sum()
-        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.int32))
+        def body(i, carry):
+            acc, eps = carry
+            _, _, _, id_t, id_b = model.apply(variables, x + eps,
+                                              method=model.encode)
+            s = id_t.sum() + id_b.sum()
+            return acc + s, (s % 3).astype(jnp.float32) * 1e-12
+
+        acc, _ = jax.lax.fori_loop(
+            0, n_iter, body,
+            (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32)))
+        return acc
 
     int(encode_n(variables, x))  # compile + warm
     t0 = time.perf_counter()

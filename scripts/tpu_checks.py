@@ -9,10 +9,13 @@ Usage: python scripts/tpu_checks.py [--fast]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def check(name):
@@ -104,21 +107,39 @@ def check_bench():
     x = jnp.asarray(rng.normal(size=(64, 256, 256, 3)).astype(np.float32))
     v = model.init(jax.random.PRNGKey(0), x[:1])
 
-    n_iter = 20
+    def make_encode_n(n_iter):
+        # Data-dependent input perturbation defeats while-loop LICM (without
+        # it the whole encode hoists out and the loop times ONE iteration).
+        @jax.jit
+        def encode_n(v, x):
+            def body(i, carry):
+                acc, eps = carry
+                _, _, _, id_t, id_b = model.apply(v, x + eps,
+                                                  method=model.encode)
+                s = id_t.sum() + id_b.sum()
+                return acc + s, (s % 3).astype(jnp.float32) * 1e-12
 
-    @jax.jit
-    def encode_n(v, x):
-        def body(i, acc):
-            _, _, _, id_t, id_b = model.apply(v, x, method=model.encode)
-            return acc + id_t.sum() + id_b.sum()
-        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.int32))
+            acc, _ = jax.lax.fori_loop(
+                0, n_iter, body,
+                (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32)))
+            return acc
 
-    int(encode_n(v, x))
-    t0 = time.perf_counter()
-    int(encode_n(v, x))
-    ips = 64 * n_iter / (time.perf_counter() - t0)
+        return encode_n
+
+    def timed(fn):
+        int(fn(v, x))  # compile + warm
+        t0 = time.perf_counter()
+        int(fn(v, x))
+        return time.perf_counter() - t0
+
+    dt10, dt20 = timed(make_encode_n(10)), timed(make_encode_n(20))
+    ratio = dt20 / dt10
+    assert 1.6 < ratio < 2.4, (
+        f"timing loop not scaling with n_iter (ratio {ratio:.2f}) — "
+        f"LICM is hoisting the encode again")
+    ips = 64 * 20 / dt20
     assert ips > 1000, f"throughput collapsed: {ips}"
-    return f"{ips:,.0f} img/s/chip"
+    return f"{ips:,.0f} img/s/chip (2x-iter ratio {ratio:.2f})"
 
 
 @check("full-size incremental sampling rate")
