@@ -16,6 +16,7 @@ jit-level reduction (the reference pickles dicts through ``all_gather``,
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from typing import Any
 
@@ -109,7 +110,9 @@ def make_train_step(model: ModelAdaptive, tx_reid, tx_gen, num_pos: int):
                    "kl_fake": loss_kl, "feat": feat_loss, "loss_gen": loss}
         return loss, (metrics, new_vars, rgb_fake, ir_fake)
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: AdaptiveState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         r1, r2 = jax.random.split(rng)

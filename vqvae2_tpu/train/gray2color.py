@@ -11,6 +11,7 @@ K instances, computed host-side per step.
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from typing import Any
 
@@ -73,7 +74,9 @@ def make_train_step(model: ModelAdaptive, tx):
         return loss, ({"loss": loss, "recon": recon, "recon_feat": recon_feat,
                        "latent": latent}, new_vars)
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: G2CState, batch, ids, rng):
         rng = jax.random.fold_in(rng, state.step)
         cols = {"batch_stats": state.batch_stats, "vq_stats": state.vq_stats}

@@ -15,6 +15,7 @@ batch and native bf16 compute; the code rows stream from the native
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from typing import Any
 
@@ -69,7 +70,9 @@ def make_train_step(model: PixelSNAIL, tx, conditional: bool):
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == codes)
         return ce, acc
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PriorState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(

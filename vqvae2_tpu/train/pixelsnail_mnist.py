@@ -11,6 +11,7 @@ digit-like blobs so the workload runs anywhere.
 from __future__ import annotations
 
 import argparse
+import functools
 import gzip
 import os
 import struct
@@ -80,7 +81,9 @@ def train(args):
                        opt_state=tx.init(variables["params"]))
     state = par.replicate(state, mesh)
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, codes, rng):
         rng = jax.random.fold_in(rng, state.step)
 

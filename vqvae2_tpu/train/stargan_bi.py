@@ -19,6 +19,7 @@ Per batch (reference ``:148-290``):
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from typing import Any
 
@@ -170,7 +171,9 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
             + L.triplet_loss_wrt(fi, labels1)[0]
         return loss, (feat, new_vars["batch_stats"])
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GanState, batch, rng):
         reid_params, gen_params, disc_params = _split(state.params)
         cols = {"batch_stats": state.batch_stats}

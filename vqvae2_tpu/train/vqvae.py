@@ -68,7 +68,9 @@ def make_train_step(model: VQVAE, tx: optax.GradientTransformation,
         loss = recon + latent_weight * diff
         return loss, (recon, diff, new_vars["vq_stats"])
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x: jax.Array):
         (loss, (recon, diff, vq_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

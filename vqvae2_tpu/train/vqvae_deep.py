@@ -20,6 +20,7 @@ Per-batch recipe (reference ``train_vqvae_deep.py:59-146``):
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from typing import Any
 
@@ -153,7 +154,9 @@ def make_train_step(model: ModelAdaptive_Deep, tx_reid, tx_gen, num_pos: int):
                    "id_ir": loss_id_ir, "feat_ir": loss_feat_ir}
         return total, (metrics, new_vars)
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: DeepState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         r1, r2 = jax.random.split(rng)

@@ -24,6 +24,7 @@ warmup→step decay (0.1× for the backbone group) and Adam for the generators.
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from typing import Any
 
@@ -239,7 +240,9 @@ def make_train_step(model: ModelAdaptiveBi_Deep, tx_reid, tx_gen, num_pos: int):
                    "loss_gen": total}
         return total, (metrics, new_vars, gray2ir, ir2gray)
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: BiState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         r1, r2 = jax.random.split(rng)

@@ -17,6 +17,7 @@ Two jitted step functions; the host dispatches on epoch.
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from typing import Any
 
@@ -66,7 +67,9 @@ def make_recon_step(model: ModelAdaptive_Deep, tx_gen, feat_dim: int):
         return loss, ({"recon": recon, "latent": latent, "loss_gen": loss,
                        "loss_reid": jnp.zeros(())}, new_vars)
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: DeepState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         reid_params, gen_params = _split_params(state.params)
@@ -173,7 +176,9 @@ def make_full_step(model: ModelAdaptive_Deep, tx_reid, tx_gen, num_pos: int):
                    "loss_gen": loss, "recon": jnp.zeros(())}
         return loss, (metrics, new_vars)
 
-    @jax.jit
+    # Donate the state: params/opt/EMA buffers are rewritten in place,
+    # halving peak HBM for the step (XLA aliases in->out buffers).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: DeepState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         r0, r1, r2 = jax.random.split(rng, 3)
