@@ -250,7 +250,8 @@ class VQVAE(nn.Module):
         self.dec = Dec(self.in_channel, self.channel, self.n_res_block,
                            self.n_res_channel, stride=4, dtype=dt)
         if self.with_ir_head:
-            self.dec_ir = Dec(1, self.channel, self.n_res_block,
+            # the fork's IR head is 2 res-blocks deeper (vqvae.py:203-210)
+            self.dec_ir = Dec(1, self.channel, self.n_res_block + 2,
                                   self.n_res_channel, stride=4, dtype=dt)
 
     def __call__(self, x: jax.Array, train: bool = False):

@@ -44,7 +44,12 @@ def dense_kernel(w: np.ndarray) -> jnp.ndarray:
 def _to_np(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in sd.items():
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        # .copy() is load-bearing: torch .numpy() returns a VIEW, and on CPU
+        # jnp.asarray can alias it zero-copy — a later in-place torch mutation
+        # (e.g. the reference's EMA buffer updates) would leak into the
+        # imported jax arrays.
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        out[k] = np.array(arr, copy=True)
     return out
 
 
@@ -158,3 +163,85 @@ def jax_tree_copy(tree):
     if isinstance(tree, dict):
         return {k: jax_tree_copy(v) for k, v in tree.items()}
     return tree
+
+
+def import_pixelsnail(state_dict: Dict[str, Any], variables) -> Dict[str, Any]:
+    """Convert a reference ``PixelSNAIL`` state_dict (pixelsnail.py:326-395)
+    into our :class:`vqvae2_tpu.models.pixelsnail.PixelSNAIL` variables.
+
+    Weight-norm layout: torch ``weight_norm`` stores ``weight_v`` (O,I,kH,kW)
+    + ``weight_g`` (O,1,1,1) per output channel → our ``v`` (kH,kW,I,O) +
+    ``g`` (O,).  The reference's runtime causal zeroing of ``weight_v``
+    (pixelsnail.py:114-115) needs no translation: our static kernel mask
+    zeroes the same taps before the norm, which is what the reference
+    computes after its first forward mutates the buffer."""
+    sd = _to_np(state_dict)
+    params = jax_tree_copy(variables["params"])
+
+    def set_wn(dst: Dict, tpre: str, transpose) -> None:
+        dst["v"] = jnp.asarray(transpose(sd[f"{tpre}.weight_v"]))
+        dst["g"] = jnp.asarray(sd[f"{tpre}.weight_g"].reshape(-1))
+        if f"{tpre}.bias" in sd:
+            dst["b"] = jnp.asarray(sd[f"{tpre}.bias"])
+
+    def set_wnconv(dst: Dict, tpre: str) -> None:
+        # torch WNConv2d module: the weight-normed Conv2d lives at ``.conv``
+        set_wn(dst, f"{tpre}.conv", lambda w: w.transpose(2, 3, 1, 0))
+
+    def set_wndense(dst: Dict, tpre: str) -> None:
+        set_wn(dst, tpre, lambda w: w.T)
+
+    def set_causal(dst: Dict, tpre: str) -> None:
+        # torch CausalConv2d wraps a WNConv2d at ``.conv``
+        set_wnconv(dst["WNConv_0"], f"{tpre}.conv")
+
+    def set_gated(dst: Dict, tpre: str) -> None:
+        for cn in ("conv1", "conv2"):
+            if f"{tpre}.{cn}.conv.conv.weight_v" in sd:   # causal variant
+                set_causal(dst[cn], f"{tpre}.{cn}")
+            else:                                          # plain wnconv2d
+                set_wnconv(dst[cn], f"{tpre}.{cn}")
+        if "aux_conv" in dst:
+            set_wnconv(dst["aux_conv"], f"{tpre}.aux_conv")
+        if "condition" in dst:
+            set_wnconv(dst["condition"], f"{tpre}.condition")
+
+    set_causal(params["horizontal"], "horizontal")
+    set_causal(params["vertical"], "vertical")
+
+    i = 0
+    while f"blocks_{i}" in params:
+        bp, tp = params[f"blocks_{i}"], f"blocks.{i}"
+        j = 0
+        while f"res{j}" in bp:
+            set_gated(bp[f"res{j}"], f"{tp}.resblocks.{j}")
+            j += 1
+        if "key_resblock" in bp:   # attention head (pixelsnail.py:266-285)
+            set_gated(bp["key_resblock"], f"{tp}.key_resblock")
+            set_gated(bp["query_resblock"], f"{tp}.query_resblock")
+            set_gated(bp["out_resblock"], f"{tp}.out_resblock")
+            for n in ("query", "key", "value"):
+                set_wndense(bp["causal_attention"][n],
+                            f"{tp}.causal_attention.{n}")
+        if "out" in bp:            # attention-free tail (pixelsnail.py:287)
+            set_wnconv(bp["out"], f"{tp}.out")
+        i += 1
+
+    if "cond_resnet" in params:
+        cp = params["cond_resnet"]
+        set_wnconv(cp["conv_in"], "cond_resnet.blocks.0")
+        j = 0
+        while f"res{j}" in cp:
+            set_gated(cp[f"res{j}"], f"cond_resnet.blocks.{j + 1}")
+            j += 1
+
+    # reference ``out`` Sequential = n_out_res_block GatedResBlocks, ELU, conv
+    j = 0
+    while f"out_res_{j}" in params:
+        set_gated(params[f"out_res_{j}"], f"out.{j}")
+        j += 1
+    set_wnconv(params["out_conv"], f"out.{j + 1}")
+
+    out = dict(variables)
+    out["params"] = params
+    return out
