@@ -142,6 +142,50 @@ def check_bench():
     return f"{ips:,.0f} img/s/chip (2x-iter ratio {ratio:.2f})"
 
 
+@check("256px full train-step throughput (fwd+bwd+Adam+EMA)")
+def check_train_step(fast: bool = False):
+    if fast:
+        return "skipped (--fast)"
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.models.vqvae import VQVAE
+    from vqvae2_tpu.train.vqvae import create_state, make_train_step
+
+    batch, n_steps = 8, 10
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 256, 256, 3)).astype(np.float32))
+    results = []
+    for dtype, name in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        model = VQVAE(dtype=dtype)
+        tx = optax.adam(3e-4)
+        state = create_state(model, tx, jax.random.PRNGKey(0),
+                             (1, 256, 256, 3))
+        step = make_train_step(model, tx)
+
+        # scan threads state through the body — a true sequential dependence
+        # (params/opt/EMA change every iteration), so LICM cannot hoist it
+        @jax.jit
+        def run(state, x):
+            def body(s, _):
+                s, metrics = step(s, x)
+                return s, metrics["loss"]
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        # scalar fetch forces completion — block_until_ready alone is
+        # unreliable through the tunnel (see CLAUDE.md)
+        st2, losses = run(state, x)   # compile + warm
+        float(jnp.sum(losses))
+        t0 = time.perf_counter()
+        st3, losses = run(st2, x)
+        last = float(losses[-1])
+        dt = time.perf_counter() - t0
+        assert np.isfinite(last), f"{name} loss {last}"
+        results.append(f"{name} {batch * n_steps / dt:,.0f} img/s")
+    return f"b{batch}: " + ", ".join(results)
+
+
 @check("full-size incremental sampling rate")
 def check_sampling_rate(fast: bool = False):
     if fast:
@@ -173,7 +217,7 @@ def main():
 
     print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
     checks = [check_quantize, check_abn, check_incremental, check_bench,
-              check_sampling_rate]
+              check_train_step, check_sampling_rate]
     failed = 0
     for fn in checks:
         name = fn._check_name

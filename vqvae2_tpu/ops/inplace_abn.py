@@ -62,7 +62,13 @@ def _act_invert(z, dz, activation: str, slope: float):
         return jnp.where(neg, z / slope, z), jnp.where(neg, dz * slope, dz)
     if activation == ACT_ELU:
         neg = z < 0
-        return jnp.where(neg, jnp.log1p(z), z), jnp.where(neg, dz * (z + 1.0), dz)
+        # clamp: low-precision storage can round z to exactly -1 (the elu
+        # asymptote), where log1p(z) = -inf and dy = dz·(z+1) = 0 would
+        # produce inf·0 NaNs in eydz; at the clamp the true contribution
+        # is already ~0
+        z_safe = jnp.maximum(z, jnp.asarray(-1.0 + 1e-6, z.dtype))
+        return (jnp.where(neg, jnp.log1p(z_safe), z),
+                jnp.where(neg, dz * (z_safe + 1.0), dz))
     return z, dz
 
 
@@ -73,16 +79,23 @@ def _act_invert(z, dz, activation: str, slope: float):
 
 def _fwd_kernel(x_ref, mean_ref, rstd_w_ref, bias_ref, z_ref,
                 *, activation: str, slope: float):
+    # Mixed-precision contract (reference inplace_abn_cuda_half.cu:14-275):
+    # low-precision x with fp32 per-channel vectors computes in fp32 and
+    # stores back in the input dtype.
     y = (x_ref[:] - mean_ref[:]) * rstd_w_ref[:] + bias_ref[:]
-    z_ref[:] = _act_fwd(y, activation, slope)
+    z_ref[:] = _act_fwd(y, activation, slope).astype(z_ref.dtype)
 
 
 def _bwd_kernel(z_ref, dz_ref, binv_ref, winv_ref, mul_ref, edzn_ref, eydzn_ref,
                 dx_ref, *, activation: str, slope: float):
     # edzn/eydzn arrive pre-divided by the (possibly psum'd, traced) count.
-    y, dy = _act_invert(z_ref[:], dz_ref[:], activation, slope)
+    # fp32 compute regardless of storage dtype (half-kernel parity; also the
+    # elu-inversion clamp in _act_invert needs fp32 headroom near z = -1).
+    y, dy = _act_invert(z_ref[:].astype(jnp.float32),
+                        dz_ref[:].astype(jnp.float32), activation, slope)
     yhat = (y - binv_ref[:]) * winv_ref[:]
-    dx_ref[:] = (dy - edzn_ref[:] - yhat * eydzn_ref[:]) * mul_ref[:]
+    dx_ref[:] = ((dy - edzn_ref[:] - yhat * eydzn_ref[:])
+                 * mul_ref[:]).astype(dx_ref.dtype)
 
 
 def _pallas_elementwise(kernel, outs_dtype, x2d, *chan_vecs, block_m=1024):
@@ -149,9 +162,14 @@ def inplace_abn(x, weight, bias, mean, var,
 def _abn_fwd_impl(x, weight, bias, mean, var, eps, activation, slope):
     c = x.shape[-1]
     affine = weight is not None
-    w_t = (jnp.abs(weight) + eps) if affine else jnp.ones((c,), x.dtype)
-    b_t = bias if affine else jnp.zeros((c,), x.dtype)
-    rstd = jax.lax.rsqrt(var + eps)
+    # Per-channel vectors in fp32 regardless of x's dtype — the compute
+    # happens in fp32 and only the store narrows (half-kernel parity,
+    # inplace_abn_cuda_half.cu:14-275).
+    f32 = jnp.float32
+    w_t = (jnp.abs(weight).astype(f32) + eps) if affine else jnp.ones((c,), f32)
+    b_t = bias.astype(f32) if affine else jnp.zeros((c,), f32)
+    rstd = jax.lax.rsqrt(var.astype(f32) + eps)
+    mean = mean.astype(f32)
     x2d = x.reshape(-1, c)
     if _use_pallas():
         z2d = _pallas_elementwise(
@@ -159,7 +177,7 @@ def _abn_fwd_impl(x, weight, bias, mean, var, eps, activation, slope):
             x.dtype, x2d, mean, rstd * w_t, b_t)
     else:
         y = (x2d - mean[None, :]) * (rstd * w_t)[None, :] + b_t[None, :]
-        z2d = _act_fwd(y, activation, slope)
+        z2d = _act_fwd(y, activation, slope).astype(x.dtype)
     z = z2d.reshape(x.shape)
     return z, (w_t, b_t)
 
@@ -175,11 +193,15 @@ def _abn_vjp_fwd(x, weight, bias, mean, var, eps, activation, slope,
 def _abn_vjp_bwd(eps, activation, slope, axis_name, training, res, dz):
     z, var, weight, bias, w_t, b_t = res
     c = z.shape[-1]
+    f32 = jnp.float32
     z2d = z.reshape(-1, c)
     dz2d = dz.reshape(-1, c)
 
-    # Invert activation (XLA; fused into the reductions below).
-    y2d, dy2d = _act_invert(z2d, dz2d, activation, slope)
+    # Invert activation (XLA; fused into the reductions below).  The grad
+    # sums edz/eydz accumulate in fp32 even for bf16/fp16 inputs — the
+    # reference's half kernels promote to float for every reduction
+    # (inplace_abn_cuda_half.cu:14-275).
+    y2d, dy2d = _act_invert(z2d.astype(f32), dz2d.astype(f32), activation, slope)
     yhat = (y2d - b_t[None, :]) / w_t[None, :]
 
     if training:
@@ -191,11 +213,11 @@ def _abn_vjp_bwd(eps, activation, slope, axis_name, training, res, dz):
             eydz = jax.lax.psum(eydz, axis_name)
             count = count * jax.lax.psum(1, axis_name)
     else:
-        edz = jnp.zeros((c,), z.dtype)
-        eydz = jnp.zeros((c,), z.dtype)
+        edz = jnp.zeros((c,), f32)
+        eydz = jnp.zeros((c,), f32)
         count = 1
 
-    rstd = jax.lax.rsqrt(var + eps)
+    rstd = jax.lax.rsqrt(var.astype(f32) + eps)
     mul = w_t * rstd
     inv_count = (1.0 / count) if training else 0.0
     edzn = edz * inv_count
@@ -205,12 +227,14 @@ def _abn_vjp_bwd(eps, activation, slope, axis_name, training, res, dz):
         dx2d = _pallas_bwd(z2d, dz2d, b_t, 1.0 / w_t, mul, edzn, eydzn,
                            activation=activation, slope=slope)
     else:
-        dx2d = (dy2d - edzn[None, :] - yhat * eydzn[None, :]) * mul[None, :]
+        dx2d = ((dy2d - edzn[None, :] - yhat * eydzn[None, :])
+                * mul[None, :]).astype(z.dtype)
 
     dx = dx2d.reshape(z.shape)
     if weight is not None:
-        dweight = jnp.sign(weight) * eydz  # reference sign flip, functions.py:136-138
-        dbias = edz
+        # reference sign flip, functions.py:136-138
+        dweight = (jnp.sign(weight) * eydz).astype(weight.dtype)
+        dbias = edz.astype(bias.dtype)
     else:
         dweight, dbias = None, None
     return dx, dweight, dbias, None, None
