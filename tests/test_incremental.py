@@ -14,6 +14,7 @@ from vqvae2_tpu.models.incremental import (
 from vqvae2_tpu.models.pixelsnail import PixelSNAIL
 
 
+@pytest.mark.slow
 def test_incremental_matches_full_forward_top(rng):
     model = PixelSNAIL(shape=(6, 6), n_class=8, channel=16, kernel_size=5,
                        n_block=2, n_res_block=2, res_channel=16, dropout=0.0,
@@ -27,6 +28,7 @@ def test_incremental_matches_full_forward_top(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_incremental_matches_full_forward_bottom(rng):
     model = PixelSNAIL(shape=(8, 8), n_class=8, channel=16, kernel_size=5,
                        n_block=2, n_res_block=2, res_channel=16,

@@ -82,6 +82,7 @@ def test_generate_edge():
     assert np.asarray(C.generate_edge(jnp.asarray(lab2))).sum() == 0
 
 
+@pytest.mark.slow
 def test_criterion_all_runs(rng):
     parsing = [jnp.asarray(rng.normal(size=(2, 4, 4, 7)), jnp.float32),
                jnp.asarray(rng.normal(size=(2, 8, 8, 7)), jnp.float32)]

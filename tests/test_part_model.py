@@ -23,6 +23,7 @@ def test_psp_module(rng):
     assert out.shape == (2, 12, 6, 16)
 
 
+@pytest.mark.slow
 def test_edge_decoder_partmodel(rng):
     # feature pyramid mimicking resnet stages at 48x24 input
     x1 = jnp.asarray(rng.normal(size=(2, 12, 6, 64)), jnp.float32)

@@ -27,6 +27,8 @@ def test_fsdp_shard_consistency(devices, rng):
     s_rep = par.replicate(state, mesh)
     out_rep, m_rep = step(s_rep, par.shard_batch(np.asarray(x), mesh))
 
+    # the step donates its state — rebuild (same rng => identical values)
+    state = create_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3))
     s_fsdp = state.replace(params=par.fsdp_shard(state.params, mesh,
                                                  min_size=128))
     out_fsdp, m_fsdp = step(s_fsdp, par.shard_batch(np.asarray(x), mesh))
@@ -72,6 +74,7 @@ def test_dead_code_restart(rng):
                                1.0)
 
 
+@pytest.mark.slow
 def test_remat_matches_plain(rng):
     """remat=True must be numerically identical (fwd and grads) — it only
     changes what the backward recomputes."""

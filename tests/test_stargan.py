@@ -24,6 +24,7 @@ def test_resblk_sqrt2(rng):
     assert y.shape == (2, 4, 4, 32)
 
 
+@pytest.mark.slow
 def test_generator_geometry(rng):
     g = Generator(img_size=64, style_dim=32, w_hpf=0, out_channel=1)
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
@@ -36,6 +37,7 @@ def test_generator_geometry(rng):
     assert not np.allclose(np.asarray(y), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_generator_hpf_masks(rng):
     g = Generator(img_size=64, style_dim=32, w_hpf=1, out_channel=1)
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
@@ -73,6 +75,7 @@ def test_mapping_and_style_encoder_domains(rng):
     assert not np.allclose(np.asarray(e0), np.asarray(e1))
 
 
+@pytest.mark.slow
 def test_discriminator_and_r1_grad(rng):
     d = DiscriminatorV2(img_size=64, num_domains=2)
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 1)), jnp.float32)
