@@ -125,3 +125,75 @@ def test_config_presets_roundtrip():
     assert args.hier == "top" and args.n_class == 512
     alt = PixelSnailConfig().replace(hier="bottom", steps=3)
     assert alt.to_args().hier == "bottom"
+
+
+def test_shard_batch_indivisible_guard():
+    """Non-divisible batches replicate with a warning; strict mode raises
+    (VERDICT r1 item 10 — no silent n-times redundant compute)."""
+    import warnings
+
+    import jax
+
+    from vqvae2_tpu import parallel as par
+
+    mesh = par.make_mesh(jax.devices())
+    n = mesh.shape[par.DATA_AXIS]
+    assert n == 8  # conftest forces the 8-device virtual CPU mesh
+
+    par._INDIVISIBLE_WARNED.clear()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = par.shard_batch(np.zeros((n + 1, 4), np.float32), mesh)
+        assert any("not divisible" in str(w.message) for w in caught)
+    assert out.shape == (n + 1, 4)  # replicated, data intact
+
+    # warning dedupes per (shape, n)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        par.shard_batch(np.zeros((n + 1, 4), np.float32), mesh)
+        assert not any("not divisible" in str(w.message) for w in caught)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        par.shard_batch(np.zeros((n + 1, 4), np.float32), mesh, strict=True)
+
+    # divisible batches shard silently, strict or not
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        xs = par.shard_batch(np.zeros((n * 2, 4), np.float32), mesh, strict=True)
+        assert not any("not divisible" in str(w.message) for w in caught)
+    assert xs.shape == (n * 2, 4)
+
+
+def test_lr_finder_records_and_suggests(tmp_path):
+    """LRFinder = schedule + loss recording + CSV + suggestion (reference
+    scheduler.py:323-354)."""
+    import jax
+    import optax
+
+    from vqvae2_tpu.utils.schedules import LRFinder
+
+    finder = LRFinder(1e-4, 10.0, step_size=60)
+    # 1-D quadratic: loss = 0.5*w^2; SGD diverges once lr > 2 — the finder
+    # must see the descent region and the blow-up.
+    w = jnp.asarray(5.0)
+    tx = optax.sgd(finder.schedule)
+    opt_state = tx.init(w)
+    grad_fn = jax.value_and_grad(lambda w: 0.5 * w * w)
+    for _ in range(60):
+        loss, g = grad_fn(w)
+        finder.record(loss)
+        if finder.diverged:
+            break
+        upd, opt_state = tx.update(g, opt_state, w)
+        w = optax.apply_updates(w, upd)
+    assert finder.diverged, "sweep into lr=10 must diverge for a quadratic"
+    assert len(finder.lrs) == len(finder.losses) >= 3
+    assert all(b > a for a, b in zip(finder.lrs, finder.lrs[1:]))  # monotone
+    lr = finder.suggest()
+    assert 1e-4 <= lr <= 2.5, lr  # in the stable region, not the blow-up
+
+    out = tmp_path / "lrfind.csv"
+    finder.save(str(out))
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == len(finder.lrs)
+    assert float(lines[0].split(",")[0]) == finder.lrs[0]

@@ -177,11 +177,20 @@ def reduce_dict(d: Dict[str, jax.Array], average: bool = True) -> Dict[str, Any]
 # Data sharding helpers (replace DistributedSampler, distributed.py:135-143)
 # ---------------------------------------------------------------------------
 
-def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS):
+_INDIVISIBLE_WARNED: set = set()
+
+
+def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS,
+                strict: bool = False):
     """Place a host batch onto the mesh, sharding the leading dim over ``axis``.
 
     Replaces the reference's per-rank ``DistributedSampler`` + ``.to(device)``;
     here one global batch is laid out across all chips in one call.
+
+    A leading dim not divisible by the mesh axis falls back to replication
+    (handy for tiny smoke runs) — but on a multi-device mesh that means every
+    chip redoes the full batch, so the fallback warns once per shape, and
+    ``strict=True`` (the production launch path) raises instead.
     """
     mesh = mesh or default_mesh()
     n = mesh.shape[axis]
@@ -189,9 +198,25 @@ def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS):
 
     def _put(x):
         x = np.asarray(x)
-        # batch not divisible by the axis (tiny smoke runs): replicate rather
-        # than fail — XLA still parallelizes within the single large program.
+        # batch not divisible by the axis: replicate rather than fail — XLA
+        # still parallelizes within the single large program — but never
+        # silently: a config typo here would mean n× redundant compute.
         divisible = x.ndim >= 1 and x.shape[0] % n == 0
+        if not divisible and x.ndim >= 1 and n > 1:
+            if strict:
+                raise ValueError(
+                    f"shard_batch: leading dim {x.shape[0]} not divisible by "
+                    f"mesh axis {axis!r}={n}; pad the batch or fix the config")
+            key = (x.shape[0], n)
+            if key not in _INDIVISIBLE_WARNED:
+                _INDIVISIBLE_WARNED.add(key)
+                import warnings
+
+                warnings.warn(
+                    f"shard_batch: leading dim {x.shape[0]} not divisible by "
+                    f"mesh axis {axis!r}={n}; replicating — every device "
+                    f"computes the FULL batch ({n}x redundant work)",
+                    RuntimeWarning, stacklevel=3)
         spec = P(axis, *([None] * (x.ndim - 1))) if divisible else P()
         sharding = NamedSharding(mesh, spec)
         if multihost and divisible:
