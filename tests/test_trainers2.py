@@ -62,7 +62,7 @@ def test_stargan_bi_trainer_one_step(tiny_sysu_sq):
 
 
 @pytest.mark.slow
-def test_ir_trainer_both_stages(tiny_sysu):
+def test_ir_trainer_both_stages(tiny_sysu, tmp_path):
     from vqvae2_tpu.train import vqvae_deep_ir
 
     # steps mode: stage_reconstruction counts steps; 1 recon + 1 full
@@ -70,7 +70,9 @@ def test_ir_trainer_both_stages(tiny_sysu):
         "--path", tiny_sysu, "--steps", "2", "--stage_reconstruction", "1",
         "--batch_size", "2", "--num_pos", "2", "--arch", "resnet18",
         "--log_every", "1",
+        "--sample_dir", str(tmp_path), "--sample_every", "2",
     ])
     m = vqvae_deep_ir.train(args)
     for k in ("loss_gen", "latent"):
         assert np.isfinite(m[k]), f"{k} not finite: {m}"
+    assert list(tmp_path.glob("*.png")), "sample grid not dumped"

@@ -155,6 +155,53 @@ def make_train_step(model: EmbedNet2, tx, num_pos: int, batch_ids: int,
     return train_step
 
 
+def make_part_viz_fn(model: EmbedNet2):
+    """Eval forward returning the fused part-parsing logits and the input
+    resized to their spatial grid (reference ``train_reid.py:161-170`` builds
+    its sample grid from these)."""
+
+    @jax.jit
+    def fwd(params, batch_stats, rgb):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          xRGB=rgb, modal=1, with_feature=True, train=False)
+        fusion = out[2][0][1]  # part_preds = [(parsing, fusion), (edge,)]
+        h, w = fusion.shape[1:3]
+        small = jax.image.resize(rgb, (rgb.shape[0], h, w, 3), "bilinear")
+        return jax.nn.softmax(fusion, axis=-1), small
+
+    return fwd
+
+
+def dump_part_samples(viz_fn, state: "ReidState", batch, path: str,
+                      n_part: int = 7, max_rows: int = 16) -> None:
+    """One grid row per example: [image, GT part map, predicted part map,
+    per-class probability maps] — the reference's part grid
+    (``train_reid.py:161-170``, nrow = 3 + n_part)."""
+    from vqvae2_tpu.utils.image import save_image
+
+    probs, small = viz_fn(state.params, state.batch_stats, batch["rgb"])
+    probs, small = np.asarray(probs), np.asarray(small)
+    k = min(probs.shape[0], max_rows)
+    h, w = probs.shape[1:3]
+
+    # GT labels → nearest-neighbour resize to the prediction grid
+    gt = np.asarray(batch["part1"])[:k].astype(np.float32)
+    yi = (np.arange(h) * gt.shape[1] / h).astype(np.int64)
+    xi = (np.arange(w) * gt.shape[2] / w).astype(np.int64)
+    gt = gt[:, yi][:, :, xi]
+    gt = np.where(gt < 0, 0.0, gt)  # IGNORE padding → background
+
+    to3 = lambda m: np.repeat(m[..., None], 3, axis=-1) * 2.0 - 1.0
+    rows = []
+    for i in range(k):
+        cols = [small[i],
+                to3(gt[i] / max(n_part - 1, 1)),
+                to3(np.argmax(probs[i], -1) / max(n_part - 1, 1))]
+        cols += [to3(probs[i, :, :, c]) for c in range(probs.shape[-1])]
+        rows.extend(cols)
+    save_image(np.stack(rows), path, nrow=3 + probs.shape[-1])
+
+
 def make_synthetic_sysu(tmpdir: str, n_ids: int = 8, per_id: int = 8,
                         h: int = IMG_H, w: int = IMG_W, seed: int = 0):
     """Fabricate the SYSU npy-blob layout for smoke runs."""
@@ -206,16 +253,29 @@ def train(args):
     probe = jnp.zeros((1, *img_hw, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(args.seed), xRGB=probe, xIR=probe,
                            xZ=probe, modal=0, train=True)
+    if args.pretrained:
+        # each modality stem + the shared trunk get the same pretrained base
+        # (the reference's deep copies of a pretrained resnet, model.py:79-123)
+        from vqvae2_tpu.models.resnet import import_torchvision_resnet
+
+        variables, n = import_torchvision_resnet(dict(variables),
+                                                 args.pretrained)
+        if par.is_primary():
+            print(f"imported {n} backbone tensors from {args.pretrained}",
+                  flush=True)
     state = ReidState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                       batch_stats=variables["batch_stats"],
                       opt_state=tx.init(variables["params"]))
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx, args.num_pos, args.batch_size, img_hw)
+    viz_fn = make_part_viz_fn(model) if args.sample_dir else None
     rng = jax.random.PRNGKey(args.seed + 1)
 
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
     n_done, t0, m = 0, time.perf_counter(), {}
+    epoch = 0
     while n_done < total_steps:
+        epoch += 1
         dataset.samplize(args.batch_size, args.num_pos)
         for s in range(0, len(dataset) - loader_batch + 1, loader_batch):
             batch = collate(dataset, range(s, s + loader_batch), img_hw)
@@ -228,8 +288,25 @@ def train(args):
                 print(f"step {n_done}/{total_steps} loss {m['loss']:.3f} "
                       f"id {m['id']:.3f} tri {m['tri']:.3f} part {m['part']:.3f} "
                       f"acc {m['acc']:.3f} ({rate:.1f} img/s)", flush=True)
+            if (viz_fn is not None and n_done % args.sample_every == 0
+                    and par.is_primary()):
+                dump_part_samples(viz_fn, state, batch,
+                                  f"{args.sample_dir}/part_{n_done:05d}.png",
+                                  n_part=model.part_num)
             if n_done >= total_steps:
                 break
+        if (args.eval_every and args.eval_path
+                and epoch % args.eval_every == 0 and par.is_primary()):
+            # periodic CMC/mAP validation (reference train_reid.py:267-274)
+            from vqvae2_tpu.eval.reid import validate
+
+            mAP = validate(model, {"params": state.params,
+                                   "batch_stats": state.batch_stats},
+                           args.eval_path, img_size=(img_hw[1], img_hw[0]),
+                           trials=args.eval_trials)
+            m["mAP"] = mAP
+            if ckpt and ckpt.save_best(mAP, state):
+                print(f"epoch {epoch}: new best mAP {mAP:.4f}", flush=True)
     if ckpt:
         ckpt.save_last(state)
     return m
@@ -244,12 +321,22 @@ def build_argparser():
     p.add_argument("--num_pos", type=int, default=4, help="instances K")
     p.add_argument("--lr_F", type=float, default=0.1)
     p.add_argument("--arch", type=str, default="resnet50")
+    p.add_argument("--pretrained", type=str, default="",
+                   help="torchvision resnet state_dict (.pt) for the backbone")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--ckpt_dir", type=str, default="")
     p.add_argument("--img_h", type=int, default=IMG_H)
     p.add_argument("--img_w", type=int, default=IMG_W)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--sample_dir", type=str, default="",
+                   help="dump part-parsing grids here (reference sample/)")
+    p.add_argument("--sample_every", type=int, default=300)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="validate CMC/mAP every N epochs (reference: 4)")
+    p.add_argument("--eval_path", type=str, default="",
+                   help="raw SYSU-MM01 root (cam1..cam6 + exp/test_id.txt)")
+    p.add_argument("--eval_trials", type=int, default=1)
     return p
 
 

@@ -39,6 +39,29 @@ from vqvae2_tpu.utils.checkpoint import CheckpointManager
 LATENT_LOSS_WEIGHT = 0.25
 
 
+def _e3(x):
+    return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+
+def threshold_up_mask(act_map, hw):
+    """Median±offset snap of the norm-attention map to {0,1} plus the bilinear
+    upsample to image size (reference ``train_vqvae_deep.py:72-79``)."""
+    bs = act_map.shape[0]
+    m = jnp.median(act_map.reshape(bs, -1), axis=1).reshape(bs, 1, 1, 1)
+    am = jnp.where(act_map < m - 0.1, 0.0,
+                   jnp.where(act_map > m + 0.02, 1.0, act_map))
+    up = jax.image.resize(am, (bs, hw[0], hw[1], 1), method="bilinear")
+    return am, up
+
+
+def random_gray(rng, img1):
+    """Random convex channel mix → 3-channel gray view (reference ``:96-98``)."""
+    bs = img1.shape[0]
+    w = jax.random.uniform(rng, (bs, 3)) + 0.01
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return jnp.repeat(jnp.einsum("bhwc,bc->bhw", img1, w)[..., None], 3, -1)
+
+
 class DeepState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -113,18 +136,9 @@ def make_train_step(model: ModelAdaptive_Deep, tx_reid, tx_gen, num_pos: int):
         bs = img1.shape[0]
         label2 = batch["label"]
 
-        # threshold activation map (train_vqvae_deep.py:72-79)
-        m = jnp.median(act_map.reshape(bs, -1), axis=1).reshape(bs, 1, 1, 1)
-        am = jnp.where(act_map < m - 0.1, 0.0,
-                       jnp.where(act_map > m + 0.02, 1.0, act_map))
-        up_mask = jax.image.resize(
-            am, (bs, img1.shape[1], img1.shape[2], 1), method="bilinear")
-
-        # random-channel gray (train_vqvae_deep.py:96-98)
+        am, up_mask = threshold_up_mask(act_map, img1.shape[1:3])
         rng, wkey = jax.random.split(rng)
-        w = jax.random.uniform(wkey, (bs, 3)) + 0.01
-        w = w / jnp.sum(w, axis=1, keepdims=True)
-        gray = jnp.repeat(jnp.einsum("bhwc,bc->bhw", img1, w)[..., None], 3, -1)
+        gray = random_gray(wkey, img1)
 
         mf3, mf4 = feat2d_x3 * am, feat2d * am
         ids = jnp.roll(jnp.arange(bs), num_pos)  # "other" identity pairing
@@ -188,6 +202,82 @@ def make_train_step(model: ModelAdaptive_Deep, tx_reid, tx_gen, num_pos: int):
     return train_step
 
 
+def make_sample_fn(model: ModelAdaptive_Deep, num_pos: int):
+    """Eval-mode generator pass for sample-grid dumps (the tensors the
+    reference saves at ``train_vqvae_deep.py:189-197``): recon, gray→RGB fake,
+    other-identity fake, IR fake and the thresholded upMask."""
+
+    def _sample_forward(module, img1, img2, gray, feat, mf3, mf4, ids):
+        rgb_b, rgb_t = module.encode_content(img1)
+        rgb_content, _ = module.quantize_content(rgb_b, rgb_t, train=False)
+        rgb_reconst = module.decode(rgb_content, feat)
+
+        gray_b, gray_t = module.encode_content(gray)
+        gb_f, gt_f = module.fuse(gray_b, gray_t, mf3, mf4, train=False)
+        gray_content, _ = module.quantize_content(gb_f, gt_f, train=False)
+        rgb_fake = module.decode(gray_content, feat)
+
+        gb_o, gt_o = module.fuse(gray_b, gray_t, mf3[ids], mf4[ids],
+                                 train=False)
+        gray_other, _ = module.quantize_content(gb_o, gt_o, train=False)
+        rgb_fake_other = module.decode(gray_other, feat)
+
+        ir_b, ir_t = module.encode_content(img2)
+        ib_f, it_f = module.fuse(ir_b, ir_t, mf3, mf4, train=False)
+        ir_content, _ = module.quantize_content(ib_f, it_f, train=False)
+        ir_fake = module.decode(ir_content, feat)
+        return rgb_reconst, rgb_fake, rgb_fake_other, _e3(ir_fake)
+
+    @jax.jit
+    def sample(params, batch_stats, vq_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats,
+                     "vq_stats": vq_stats}
+        img1, img2 = batch["rgb"], batch["ir"]
+        feat, _, feat2d, act_map, feat2d_x3 = model.apply(
+            variables, img1, train=False, method=model.encode_person)
+        am, up_mask = threshold_up_mask(act_map, img1.shape[1:3])
+        gray = random_gray(rng, img1)
+        mf3, mf4 = feat2d_x3 * am, feat2d * am
+        ids = jnp.roll(jnp.arange(img1.shape[0]), num_pos)
+        outs = model.apply(variables, img1, img2, gray, feat, mf3, mf4, ids,
+                           method=_sample_forward)
+        return outs + (up_mask,)
+
+    return sample
+
+
+def dump_samples(sample_fn, state: DeepState, batch, rng, path: str,
+                 max_rows: int = 8) -> None:
+    """Host-side grid: one column per example, rows = [real RGB, recon,
+    gray→RGB fake, other-id fake, real IR, IR fake, 2·upMask−1] — the layout
+    of reference ``train_vqvae_deep.py:189-197``."""
+    from vqvae2_tpu.utils.image import save_image
+
+    recon, fake, fake_other, ir_fake, up_mask = sample_fn(
+        state.params, state.batch_stats, state.vq_stats, batch, rng)
+    k = min(int(batch["rgb"].shape[0]), max_rows)
+    take = lambda x: np.asarray(x)[:k]
+    mask3 = np.repeat(take(up_mask), 3, axis=-1) * 2.0 - 1.0
+    grid = np.concatenate([
+        take(batch["rgb"]), take(recon), take(fake), take(fake_other),
+        take(batch["ir"]), take(ir_fake), mask3], axis=0)
+    save_image(grid, path, nrow=k)
+
+
+class _PersonShim:
+    """Duck-typed ``model`` for :func:`vqvae2_tpu.eval.reid.validate`: routes
+    ``apply(variables, xRGB=..., modal=...)`` to the ``person_id`` subnet of
+    the adaptive model (the net reference ``train_vqvae_deep.py:268-269``
+    validates)."""
+
+    def __init__(self, model):
+        self._model = model
+
+    def apply(self, variables, **kwargs):
+        return self._model.apply(variables,
+                                 method=lambda m: m.person_id(**kwargs))
+
+
 def train(args):
     mesh = par.default_mesh()
     dataset = SYSUData(args.path, part=False, seed=args.seed)
@@ -211,11 +301,23 @@ def train(args):
                       vq_stats=variables.get("vq_stats", {}),
                       opt_reid=tx_reid.init(reid_params),
                       opt_gen=tx_gen.init(gen_params))
+    if args.resume and args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        latest = mgr.latest_step()
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        state = mgr.restore(name, state)
+        if par.is_primary():
+            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
     state = par.replicate(state, mesh)
+    ckpt = (CheckpointManager(args.ckpt_dir, config=vars(args))
+            if args.ckpt_dir else None)
     step_fn = make_train_step(model, tx_reid, tx_gen, args.num_pos)
+    sample_fn = (make_sample_fn(model, args.num_pos)
+                 if args.sample_dir else None)
     rng = jax.random.PRNGKey(args.seed + 2)
 
     n_done, t0, m = 0, time.perf_counter(), {}
+    epoch = 0
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
         for s in range(0, len(dataset) - loader_batch + 1, loader_batch):
@@ -234,8 +336,31 @@ def train(args):
                       f"reid {m['loss_reid']:.3f} gen {m['loss_gen']:.3f} "
                       f"recon {m['recon']:.4f} latent {m['latent']:.4f}",
                       flush=True)
+            if (sample_fn is not None and n_done % args.sample_every == 0
+                    and par.is_primary()):
+                dump_samples(sample_fn, state, batch,
+                             jax.random.fold_in(rng, n_done),
+                             f"{args.sample_dir}/{n_done:05d}.png")
+            if ckpt and n_done % (steps_per_epoch * 10) == 0:
+                ckpt.save_periodic(n_done, state)
             if n_done >= total_steps:
                 break
+        epoch += 1
+        if (args.eval_every and args.eval_path
+                and epoch % args.eval_every == 0 and par.is_primary()):
+            # periodic person-ReID validation through the person_id subnet
+            # (reference train_vqvae_deep.py:268-269)
+            from vqvae2_tpu.eval.reid import validate
+
+            mAP = validate(
+                _PersonShim(model),
+                {"params": state.params, "batch_stats": state.batch_stats},
+                args.eval_path, img_size=(w, h), trials=args.eval_trials)
+            m["mAP"] = mAP
+            if ckpt and ckpt.save_best(mAP, state):
+                print(f"epoch {epoch}: new best mAP {mAP:.4f}", flush=True)
+    if ckpt:
+        ckpt.save_last(state)
     return m
 
 
@@ -252,6 +377,16 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--sample_dir", type=str, default="",
+                   help="dump sample grids here (reference sample-deep-transfer/)")
+    p.add_argument("--sample_every", type=int, default=500)
+    p.add_argument("--ckpt_dir", type=str, default="")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="validate CMC/mAP every N epochs (reference: 4)")
+    p.add_argument("--eval_path", type=str, default="",
+                   help="raw SYSU-MM01 root (cam1..cam6 + exp/test_id.txt)")
+    p.add_argument("--eval_trials", type=int, default=1)
     return p
 
 

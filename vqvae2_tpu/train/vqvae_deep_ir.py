@@ -215,6 +215,52 @@ def make_full_step(model: ModelAdaptive_Deep, tx_reid, tx_gen, num_pos: int):
     return step
 
 
+def make_sample_fn(model: ModelAdaptive_Deep, feat_dim: int):
+    """Eval-mode pass producing the tensors the reference saves at
+    ``train_vqvae_deep_ir.py:344-360``: the gray→IR translation (``inter``)
+    and the plain IR reconstruction."""
+
+    @jax.jit
+    def sample(params, batch_stats, vq_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats,
+                     "vq_stats": vq_stats}
+
+        def fwd(m):
+            featV, _, feat2dV, _, f3V = m.person_id(
+                xRGB=batch["aug_rgb"], modal=1, with_feature=True, train=False)
+            b, t = m.encode_content(batch["gray"])
+            bf, tf = m.fuse(b, t, f3V, feat2dV, train=False)
+            content, _ = m.quantize_content(bf, tf, train=False)
+            inter = _e3(m.decode(content, featV))
+
+            ir = batch["ir"]
+            b2, t2 = m.encode_content(ir)
+            c2, _ = m.quantize_content(b2, t2, train=False)
+            zero_style = jnp.zeros((ir.shape[0], feat_dim), ir.dtype)
+            ir_rec = _e3(m.decode(c2, zero_style))
+            return inter, ir_rec
+
+        return model.apply(variables, method=lambda m: fwd(m))
+
+    return sample
+
+
+def dump_samples(sample_fn, state: DeepState, batch, path: str,
+                 max_rows: int = 8) -> None:
+    """Grid rows = [aug RGB, gray, gray→IR, real IR, IR recon] — the layout of
+    reference ``train_vqvae_deep_ir.py:354-360``."""
+    from vqvae2_tpu.utils.image import save_image
+
+    inter, ir_rec = sample_fn(state.params, state.batch_stats,
+                              state.vq_stats, batch)
+    k = min(int(batch["ir"].shape[0]), max_rows)
+    take = lambda x: np.asarray(x)[:k]
+    grid = np.concatenate([take(batch["aug_rgb"]), take(batch["gray"]),
+                           take(inter), take(batch["ir"]), take(ir_rec)],
+                          axis=0)
+    save_image(grid, path, nrow=k)
+
+
 def train(args):
     mesh = par.default_mesh()
     dataset = SYSUData(args.path, part=False, seed=args.seed)
@@ -243,6 +289,8 @@ def train(args):
 
     recon_step = make_recon_step(model, tx_gen, pool_dim(args.arch))
     full_step = make_full_step(model, tx_reid, tx_gen, args.num_pos)
+    sample_fn = (make_sample_fn(model, pool_dim(args.arch))
+                 if args.sample_dir else None)
     rng = jax.random.PRNGKey(args.seed + 2)
     host_rng = np.random.default_rng(args.seed)
 
@@ -274,6 +322,10 @@ def train(args):
                 print(f"step {n_done}/{total_steps} [{stage}] "
                       f"gen {m['loss_gen']:.3f} reid {m['loss_reid']:.3f} "
                       f"latent {m['latent']:.4f}", flush=True)
+            if (sample_fn is not None and n_done % args.sample_every == 0
+                    and par.is_primary()):
+                dump_samples(sample_fn, state, batch,
+                             f"{args.sample_dir}/{n_done:05d}.png")
             if n_done >= total_steps:
                 break
     return m
@@ -293,6 +345,9 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--sample_dir", type=str, default="",
+                   help="dump sample grids here (reference sample-new/)")
+    p.add_argument("--sample_every", type=int, default=500)
     return p
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -171,7 +172,7 @@ def cycle_anneal(
 
 def lr_finder(lr_min: float, lr_max: float, step_size: int, linear: bool = False) -> optax.Schedule:
     """Exponential/linear LR sweep for range tests (reference ``LRFinder``,
-    ``scheduler.py:323-346``; loss recording is the caller's concern here)."""
+    ``scheduler.py:323-346``); :class:`LRFinder` adds the loss recording."""
     ratio = lr_max / lr_min
     mult = (ratio / step_size) if linear else ratio ** (1 / step_size)
 
@@ -182,6 +183,48 @@ def lr_finder(lr_min: float, lr_max: float, step_size: int, linear: bool = False
         return lr_min * jnp.power(mult, i)
 
     return schedule
+
+
+class LRFinder:
+    """LR range test with per-step loss recording — the full reference
+    ``LRFinder`` (``scheduler.py:323-354``): ``.schedule`` plugs into any
+    optax optimizer, the host loop calls :meth:`record` with each step's
+    loss, :meth:`save` writes the same ``lr,loss`` CSV, and :meth:`suggest`
+    returns the LR at the steepest smoothed descent."""
+
+    def __init__(self, lr_min: float, lr_max: float, step_size: int,
+                 linear: bool = False):
+        self.schedule = lr_finder(lr_min, lr_max, step_size, linear)
+        self.step_size = step_size
+        self.lrs: list = []
+        self.losses: list = []
+
+    def record(self, loss) -> None:
+        self.lrs.append(float(self.schedule(len(self.losses))))
+        self.losses.append(float(loss))
+
+    @property
+    def diverged(self) -> bool:
+        """Stop signal: smoothed loss blew past 4× its running minimum."""
+        if len(self.losses) < 2:
+            return False
+        return self.losses[-1] > 4.0 * min(self.losses)
+
+    def suggest(self, smooth: float = 0.3) -> float:
+        """LR at the steepest descent of the EMA-smoothed loss curve."""
+        if len(self.losses) < 3:
+            raise ValueError("record() more steps before suggest()")
+        ema, s = [], None
+        for v in self.losses:
+            s = v if s is None else smooth * v + (1 - smooth) * s
+            ema.append(s)
+        grads = np.diff(ema) / np.maximum(np.diff(self.lrs), 1e-12)
+        return float(self.lrs[int(np.argmin(grads))])
+
+    def save(self, filename: str) -> None:
+        with open(filename, "w") as f:
+            for lr, loss in zip(self.lrs, self.losses):
+                f.write(f"{lr},{loss}\n")
 
 
 def multi_step_lr(base_lr: float, milestones: Sequence[int], gamma: float = 0.1) -> optax.Schedule:
