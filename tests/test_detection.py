@@ -94,3 +94,101 @@ def test_ssd_forward(rng):
     loc, conf = model.apply(v, x)
     assert loc.shape == (1, 8732, 4)
     assert conf.shape == (1, 8732, 14)
+
+
+def test_coco_eval_pinned_staircase():
+    """Pinned-AP regression fixture (VERDICT r1 item 9): one class, two GT
+    objects, detections ordered TP(0.9), FP(0.8), TP(0.7).  The PR staircase
+    is precision [1, 1/2, 2/3] -> envelope [1, 2/3, 2/3], recall [.5, .5, 1],
+    so 101-point AP = (50*1 + 51*2/3)/101 = 0.831683...  Any change to the
+    matcher, envelope, or interpolation moves this number."""
+    from vqvae2_tpu.detection.coco_eval import evaluate_segmentations
+
+    EXPECTED = (50 * 1.0 + 51 * (2.0 / 3.0)) / 101.0
+
+    gt = [(0, np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], float),
+           np.asarray([1, 1]))]
+    dets = [(0, np.asarray([[0, 0, 10, 10], [50, 50, 60, 60],
+                            [20, 20, 30, 30]], float),
+             np.asarray([0.9, 0.8, 0.7]), np.asarray([1, 1, 1]))]
+    m = evaluate_detections(dets, gt)
+    assert abs(m["mAP"] - EXPECTED) < 1e-9
+    assert abs(m["AP50"] - EXPECTED) < 1e-9
+    assert abs(m["AP75"] - EXPECTED) < 1e-9
+
+    # identical staircase through the mask-IoU path (pycocotools segm type)
+    def box_mask(b, hw=40):
+        mk = np.zeros((hw, hw), bool)
+        x0, y0, x1, y1 = map(int, b)
+        mk[y0:y1, x0:x1] = True
+        return mk
+
+    gmasks = np.stack([box_mask([0, 0, 10, 10]), box_mask([20, 20, 30, 30])])
+    pmasks = np.stack([box_mask([0, 0, 10, 10]), box_mask([32, 0, 39, 7]),
+                       box_mask([20, 20, 30, 30])])
+    sm = evaluate_segmentations(
+        [(0, pmasks, np.asarray([0.9, 0.8, 0.7]), np.asarray([1, 1, 1]))],
+        [(0, gmasks, np.asarray([1, 1]))])
+    assert abs(sm["mAP"] - EXPECTED) < 1e-9
+
+    # partially-overlapping masks: IoU 0.5 counts at thr<=0.5 only
+    half = np.stack([box_mask([0, 0, 10, 5])])  # IoU vs GT1 = 0.5
+    hm = evaluate_segmentations(
+        [(0, half, np.asarray([0.9]), np.asarray([1]))],
+        [(0, gmasks[:1], np.asarray([1]))])
+    assert hm["AP50"] > 0.99 and hm["AP75"] == 0.0
+
+
+def test_visualize_draw_and_save(tmp_path):
+    """Host-side prediction rendering (reference fashion.py:135-157 /
+    fashionSSD.py:147-184): boxes, labels, scores, mask overlay, GT panel."""
+    from vqvae2_tpu.detection.visualize import draw_detections, save_detections
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(64, 64, 3)).astype(np.float32).clip(-1, 1)
+    boxes = np.asarray([[0.1, 0.1, 0.5, 0.5], [0.4, 0.4, 0.9, 0.9]])
+    labels = np.asarray([1, 2])
+    scores = np.asarray([0.9, 0.6])
+    masks = np.zeros((2, 64, 64), bool)
+    masks[0, 8:30, 8:30] = True
+    masks[1, 28:56, 28:56] = True
+
+    out = draw_detections(img, boxes, labels, scores, masks,
+                          class_names={1: "shirt", 2: "bag"})
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    base = draw_detections(img, np.zeros((0, 4)), np.zeros(0))
+    assert (out != base).any(), "drawing must change pixels"
+
+    # low scores are suppressed
+    quiet = draw_detections(img, boxes, labels, np.asarray([0.1, 0.2]), masks)
+    assert (quiet == base).all()
+
+    p = tmp_path / "det.png"
+    save_detections(str(p), img, boxes, labels, scores, masks=masks,
+                    gt_boxes=boxes, gt_labels=labels)
+    assert p.exists()
+    from PIL import Image
+
+    w, h = Image.open(p).size
+    assert h == 64 and w == 64 * 2 + 4  # side-by-side [pred | GT]
+
+
+@pytest.mark.slow
+def test_ssd_trainer_train_eval_viz(tmp_path):
+    from vqvae2_tpu.detection.data import make_synthetic_coco
+    from vqvae2_tpu.train import detection as T
+
+    # SSD300's default-box grid is fixed to 300px input
+    img_dir, ann = make_synthetic_coco(str(tmp_path), n=4, size=300,
+                                       n_classes=3)
+    viz = tmp_path / "viz"
+    args = T.build_argparser().parse_args([
+        "--img_dir", img_dir, "--ann_file", ann, "--size", "300",
+        "--steps", "1", "--batch_size", "2", "--log_every", "1",
+        "--eval", "--viz_dir", str(viz),
+    ])
+    m = T.train(args)
+    assert np.isfinite(m["loss"])
+    for k in ("mAP", "AP50", "AP75"):
+        assert k in m and np.isfinite(m[k]), f"{k} missing: {m}"
+    assert list(viz.glob("det_*.png")), "prediction viz not dumped"

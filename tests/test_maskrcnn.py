@@ -63,12 +63,16 @@ def test_maskrcnn_train_and_eval(tmp_path):
 
     img_dir, ann = make_synthetic_coco(str(tmp_path), n=8, size=64,
                                        n_classes=3, with_masks=True)
+    viz = tmp_path / "viz"
     args = T.build_argparser().parse_args([
         "--img_dir", img_dir, "--ann_file", ann, "--size", "64",
         "--steps", "2", "--batch_size", "2", "--num_proposals", "16",
-        "--log_every", "1", "--eval",
+        "--log_every", "1", "--eval", "--viz_dir", str(viz),
     ])
     m = T.train(args)
     for k in ("loss", "rpn_cls", "roi_cls", "mask"):
         assert np.isfinite(m[k]), f"{k} not finite: {m}"
     assert "mAP" in m and "mask_mIoU" in m
+    for k in ("mask_mAP", "mask_AP50", "mask_AP75"):
+        assert k in m and np.isfinite(m[k]), f"{k} missing: {m}"
+    assert list(viz.glob("inst_*.png")), "prediction viz not dumped"

@@ -1,8 +1,10 @@
-"""COCO-style detection mAP — numpy implementation of the evaluation the
-reference runs through pycocotools (``vision/coco_eval.py:20-200``,
-``ssd/evaluate.py:24-136``).  pycocotools isn't in this image, so the
-standard 101-point interpolated AP over IoU 0.50:0.95 is computed directly;
-results carry the usual summary keys (mAP, AP50, AP75).
+"""COCO-style detection/segmentation mAP — numpy implementation of the
+evaluation the reference runs through pycocotools (``vision/coco_eval.py:20-200``
+evaluates both ``bbox`` and ``segm`` IoU types; ``ssd/evaluate.py:24-136``).
+pycocotools isn't in this image, so the standard 101-point interpolated AP
+over IoU 0.50:0.95 is computed directly; results carry the usual summary keys
+(mAP, AP50, AP75).  Box and mask AP share one matcher — only the IoU kernel
+differs, exactly as in pycocotools.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
 
-def _iou(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+def _box_iou(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     lt = np.maximum(box[:2], boxes[:, :2])
     rb = np.minimum(box[2:], boxes[:, 2:])
     wh = np.clip(rb - lt, 0, None)
@@ -26,8 +28,20 @@ def _iou(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     return inter / np.clip(a + b - inter, 1e-10, None)
 
 
-def _ap_per_class(dets, gts, iou_thr: float) -> float:
-    """dets: list of (img_id, score, box ltrb); gts: {img_id: (G,4)}."""
+def _mask_iou(mask: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    """Binary mask IoU: (H,W) vs (G,H,W) → (G,)."""
+    m = mask.astype(bool)
+    ms = masks.astype(bool)
+    inter = np.logical_and(m[None], ms).sum(axis=(1, 2))
+    union = np.logical_or(m[None], ms).sum(axis=(1, 2))
+    return inter / np.clip(union, 1e-10, None)
+
+
+def _ap_per_class(dets, gts, iou_thr: float, iou_fn=_box_iou) -> float:
+    """dets: list of (img_id, score, obj); gts: {img_id: stacked objs}.
+
+    ``obj`` is a box (4,) or a mask (H,W) — ``iou_fn`` decides.
+    """
     n_gt = sum(len(v) for v in gts.values())
     if n_gt == 0:
         return np.nan
@@ -36,12 +50,12 @@ def _ap_per_class(dets, gts, iou_thr: float) -> float:
                                       for k, v in gts.items()}
     tp = np.zeros(len(dets))
     fp = np.zeros(len(dets))
-    for i, (img, score, box) in enumerate(dets):
+    for i, (img, score, obj) in enumerate(dets):
         g = gts.get(img)
         if g is None or len(g) == 0:
             fp[i] = 1
             continue
-        ious = _iou(np.asarray(box), g)
+        ious = iou_fn(np.asarray(obj), g)
         j = int(np.argmax(ious))
         if ious[j] >= iou_thr and not matched[img][j]:
             matched[img][j] = True
@@ -59,11 +73,28 @@ def _ap_per_class(dets, gts, iou_thr: float) -> float:
                                    right=0.0))) if len(precision) else 0.0
 
 
+def _summarize(det_by_cls, gt_by_cls, iou_fn) -> Dict[str, float]:
+    classes = sorted(gt_by_cls.keys())
+    ap_matrix = np.full((len(classes), len(IOU_THRESHOLDS)), np.nan)
+    for ci, c in enumerate(classes):
+        for ti, thr in enumerate(IOU_THRESHOLDS):
+            ap_matrix[ci, ti] = _ap_per_class(det_by_cls.get(c, []),
+                                              gt_by_cls[c], thr, iou_fn)
+    out = {
+        "mAP": float(np.nanmean(ap_matrix)),
+        "AP50": float(np.nanmean(ap_matrix[:, 0])),
+        "AP75": float(np.nanmean(ap_matrix[:, 5])),
+    }
+    for ci, c in enumerate(classes):
+        out[f"AP50_class_{c}"] = float(ap_matrix[ci, 0])
+    return out
+
+
 def evaluate_detections(
     predictions: Sequence[Tuple[int, np.ndarray, np.ndarray, np.ndarray]],
     ground_truth: Sequence[Tuple[int, np.ndarray, np.ndarray]],
 ) -> Dict[str, float]:
-    """COCO-style AP summary.
+    """COCO-style box AP summary (pycocotools ``iouType='bbox'``).
 
     predictions: iterable of (image_id, boxes (N,4) ltrb, scores (N,),
     labels (N,)); ground_truth: iterable of (image_id, boxes (G,4),
@@ -78,19 +109,30 @@ def evaluate_detections(
     for img_id, boxes, scores, labels in predictions:
         for b, s, c in zip(boxes, scores, labels):
             det_by_cls[int(c)].append((img_id, float(s), np.asarray(b)))
+    return _summarize(det_by_cls, gt_by_cls, _box_iou)
 
-    classes = sorted(gt_by_cls.keys())
-    ap_matrix = np.full((len(classes), len(IOU_THRESHOLDS)), np.nan)
-    for ci, c in enumerate(classes):
-        for ti, thr in enumerate(IOU_THRESHOLDS):
-            ap_matrix[ci, ti] = _ap_per_class(det_by_cls.get(c, []),
-                                              gt_by_cls[c], thr)
 
-    out = {
-        "mAP": float(np.nanmean(ap_matrix)),
-        "AP50": float(np.nanmean(ap_matrix[:, 0])),
-        "AP75": float(np.nanmean(ap_matrix[:, 5])),
-    }
-    for ci, c in enumerate(classes):
-        out[f"AP50_class_{c}"] = float(ap_matrix[ci, 0])
-    return out
+def evaluate_segmentations(
+    predictions: Sequence[Tuple[int, np.ndarray, np.ndarray, np.ndarray]],
+    ground_truth: Sequence[Tuple[int, np.ndarray, np.ndarray]],
+) -> Dict[str, float]:
+    """COCO-style mask AP summary (pycocotools ``iouType='segm'``,
+    the evaluation ``fashion.py`` runs via ``vision/coco_eval.py:20-200``).
+
+    predictions: iterable of (image_id, masks (N,H,W) bool, scores (N,),
+    labels (N,)); ground_truth: iterable of (image_id, masks (G,H,W) bool,
+    labels (G,)).  Same matcher as box AP, binary-mask IoU.
+    """
+    det_by_cls: Dict[int, List] = defaultdict(list)
+    gt_by_cls: Dict[int, Dict[int, np.ndarray]] = defaultdict(dict)
+
+    for img_id, masks, labels in ground_truth:
+        labels = np.asarray(labels)
+        masks = np.asarray(masks)
+        for c in np.unique(labels):
+            gt_by_cls[int(c)][img_id] = masks[labels == c].astype(bool)
+    for img_id, masks, scores, labels in predictions:
+        for m, s, c in zip(masks, scores, labels):
+            det_by_cls[int(c)].append((img_id, float(s),
+                                       np.asarray(m).astype(bool)))
+    return _summarize(det_by_cls, gt_by_cls, _mask_iou)

@@ -35,6 +35,9 @@ class CocoDetectionDataset:
         # contiguous labels, 0 reserved for background
         self.cat_to_label = {c: i + 1 for i, c in enumerate(cats)}
         self.num_classes = len(cats) + 1
+        names = {c["id"]: c.get("name", str(c["id"]))
+                 for c in coco.get("categories", [])}
+        self.class_names = {self.cat_to_label[c]: names[c] for c in cats}
 
     def __len__(self) -> int:
         return len(self.ids)

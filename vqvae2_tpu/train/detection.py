@@ -66,9 +66,11 @@ def make_train_step(model: SSD300, tx, dboxes: np.ndarray):
 
 def evaluate(model: SSD300, state: DetState, dataset, dboxes: np.ndarray,
              batch_size: int = 8, score_thresh: float = 0.05,
-             nms_iou: float = 0.45, max_det: int = 100):
+             nms_iou: float = 0.45, max_det: int = 100,
+             viz_dir: str = "", viz_max: int = 16):
     """NMS + COCO AP (reference ``vision/engine.evaluate`` +
-    ``Encoder.decode_single``)."""
+    ``Encoder.decode_single``); with ``viz_dir``, dumps annotated
+    [prediction | GT] PNGs (reference ``fashionSSD.py:147-184``)."""
     db = jnp.asarray(dboxes)
 
     @jax.jit
@@ -105,6 +107,15 @@ def evaluate(model: SSD300, state: DetState, dataset, dboxes: np.ndarray,
                               np.zeros(0, np.int64)))
             valid = gt_labels[bi] > 0
             gts.append((img_id, gt_boxes[bi][valid], gt_labels[bi][valid]))
+            if viz_dir and len(preds) <= viz_max:
+                from vqvae2_tpu.detection.visualize import save_detections
+
+                _, pb, ps, pl = preds[-1]
+                save_detections(
+                    f"{viz_dir}/det_{img_id:05d}.png", imgs[bi], pb, pl, ps,
+                    gt_boxes=gt_boxes[bi][valid], gt_labels=gt_labels[bi][valid],
+                    class_names=getattr(dataset, "class_names", None),
+                    score_thresh=0.3)
     return evaluate_detections(preds, gts)
 
 
@@ -114,6 +125,9 @@ def train(args):
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
     total_steps = args.steps or steps_per_epoch * args.epoch
 
+    if args.size != 300:
+        raise SystemExit("SSD300's default-box grid is fixed to 300px input "
+                         "(reference ssd/model.py); use --size 300")
     model = SSD300(num_classes=dataset.num_classes, arch=args.arch)
     warmup = min(1000, total_steps // 10 + 1)
     sched = optax.linear_schedule(args.lr / 100, args.lr, warmup)
@@ -122,6 +136,16 @@ def train(args):
     dboxes = B.default_boxes_ssd300(fig_size=args.size)
     variables = model.init(jax.random.PRNGKey(args.seed),
                            jnp.zeros((1, args.size, args.size, 3)))
+    if args.pretrained:
+        # pretrained-backbone surgery (reference fashionSSD.py loads the
+        # torchvision resnet base; heads stay fresh)
+        from vqvae2_tpu.models.resnet import import_torchvision_resnet
+
+        variables, n = import_torchvision_resnet(dict(variables),
+                                                 args.pretrained)
+        if par.is_primary():
+            print(f"imported {n} backbone tensors from {args.pretrained}",
+                  flush=True)
     state = DetState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                      batch_stats=variables["batch_stats"],
                      opt_state=tx.init(variables["params"]))
@@ -150,7 +174,8 @@ def train(args):
     metrics = {"loss": loss}
     if args.eval:
         metrics.update(evaluate(model, state, dataset, dboxes,
-                                batch_size=args.batch_size))
+                                batch_size=args.batch_size,
+                                viz_dir=args.viz_dir))
         if par.is_primary():
             print({k: round(v, 4) for k, v in metrics.items()
                    if not k.startswith("AP50_class")}, flush=True)
@@ -167,9 +192,13 @@ def build_argparser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=0.002)
     p.add_argument("--arch", type=str, default="resnet18")
+    p.add_argument("--pretrained", type=str, default="",
+                   help="torchvision resnet state_dict (.pt) for the backbone")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--viz_dir", type=str, default="",
+                   help="dump annotated prediction PNGs during --eval")
     p.add_argument("--log_every", type=int, default=10)
     return p
 

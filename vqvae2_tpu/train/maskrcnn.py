@@ -25,7 +25,8 @@ from flax import struct
 from vqvae2_tpu import parallel as par
 from vqvae2_tpu.detection import boxes as B
 from vqvae2_tpu.detection import mask_rcnn as M
-from vqvae2_tpu.detection.coco_eval import evaluate_detections
+from vqvae2_tpu.detection.coco_eval import (evaluate_detections,
+                                            evaluate_segmentations)
 from vqvae2_tpu.detection.data import CocoDetectionDataset, make_synthetic_coco
 
 
@@ -82,9 +83,12 @@ def make_train_step(model: M.MaskRCNN, tx, anchors: np.ndarray):
 def evaluate_instances(model: M.MaskRCNN, state: MRState, dataset,
                        anchors: np.ndarray, batch_size: int = 4,
                        score_thresh: float = 0.05, nms_iou: float = 0.5,
-                       mask_thresh: float = 0.5):
-    """Host-side inference: NMS'd boxes → COCO box AP + mean mask IoU against
-    matched GT masks (the fashion.py evaluation axes, bbox+segm)."""
+                       mask_thresh: float = 0.5,
+                       viz_dir: str = "", viz_max: int = 16):
+    """Host-side inference: NMS'd boxes → COCO box AP, COCO mask AP
+    (pycocotools ``segm`` semantics via ``evaluate_segmentations``) and mean
+    mask IoU of matched detections (the fashion.py evaluation axes,
+    ``vision/coco_eval.py:20-200`` bbox+segm)."""
     anchors_j = jnp.asarray(anchors)
 
     @jax.jit
@@ -107,6 +111,7 @@ def evaluate_instances(model: M.MaskRCNN, state: MRState, dataset,
                 jax.nn.sigmoid(mask_logits))
 
     preds, gts, mask_ious = [], [], []
+    seg_preds, seg_gts = [], []
     for imgs, gt_boxes, gt_labels, img_ids, gt_masks in dataset.batches(
             batch_size, shuffle=False, drop_last=False, with_masks=True):
         boxes, probs, masks = forward(state.params, state.batch_stats,
@@ -118,6 +123,9 @@ def evaluate_instances(model: M.MaskRCNN, state: MRState, dataset,
             best_c = cls.argmax(-1) + 1
             best_s = cls.max(-1)
             sel = best_s > score_thresh
+            valid = gt_labels[bi] > 0
+            g_boxes = gt_boxes[bi][valid] * size
+            g_masks = gt_masks[bi][valid] > 0.5
             if sel.any():
                 keep = B.nms_numpy(boxes[bi][sel], best_s[sel], nms_iou)
                 kb = boxes[bi][sel][keep]
@@ -125,10 +133,11 @@ def evaluate_instances(model: M.MaskRCNN, state: MRState, dataset,
                 kc = best_c[sel][keep]
                 km = masks[bi][sel][keep]
                 preds.append((img_id, kb * size, ks, kc))
-                # mask IoU vs best-overlapping GT
-                valid = gt_labels[bi] > 0
-                g_boxes = gt_boxes[bi][valid] * size
-                g_masks = gt_masks[bi][valid]
+                pasted = np.stack([
+                    _paste_mask(km[d, :, :, kc[d]], kb[d], size, mask_thresh)
+                    for d in range(len(kb))])
+                seg_preds.append((img_id, pasted, ks, kc))
+                # mean mask IoU vs best box-overlapping GT (legacy axis)
                 for d in range(len(kb)):
                     if len(g_boxes) == 0:
                         continue
@@ -136,20 +145,33 @@ def evaluate_instances(model: M.MaskRCNN, state: MRState, dataset,
                     gi = int(ious.argmax())
                     if ious[gi] < 0.3:
                         continue
-                    pm = _paste_mask(km[d, :, :, kc[d]], kb[d], size,
-                                     mask_thresh)
-                    gm = g_masks[gi] > 0.5
-                    inter = np.logical_and(pm, gm).sum()
-                    union = np.logical_or(pm, gm).sum()
+                    gm = g_masks[gi]
+                    inter = np.logical_and(pasted[d], gm).sum()
+                    union = np.logical_or(pasted[d], gm).sum()
                     if union:
                         mask_ious.append(inter / union)
             else:
                 preds.append((img_id, np.zeros((0, 4)), np.zeros(0),
                               np.zeros(0, np.int64)))
-            valid = gt_labels[bi] > 0
-            gts.append((img_id, gt_boxes[bi][valid] * size,
-                        gt_labels[bi][valid]))
+                seg_preds.append((img_id, np.zeros((0, size, size), bool),
+                                  np.zeros(0), np.zeros(0, np.int64)))
+            gts.append((img_id, g_boxes, gt_labels[bi][valid]))
+            seg_gts.append((img_id, g_masks, gt_labels[bi][valid]))
+            if viz_dir and len(preds) <= viz_max:
+                from vqvae2_tpu.detection.visualize import save_detections
+
+                _, pb, ps, pc = preds[-1]
+                save_detections(
+                    f"{viz_dir}/inst_{img_id:05d}.png", imgs[bi], pb, pc, ps,
+                    masks=seg_preds[-1][1],
+                    gt_boxes=g_boxes, gt_labels=gt_labels[bi][valid],
+                    class_names=getattr(dataset, "class_names", None),
+                    score_thresh=0.3)
     out = evaluate_detections(preds, gts)
+    seg = evaluate_segmentations(seg_preds, seg_gts)
+    out["mask_mAP"] = seg["mAP"]
+    out["mask_AP50"] = seg["AP50"]
+    out["mask_AP75"] = seg["AP75"]
     out["mask_mIoU"] = float(np.mean(mask_ious)) if mask_ious else 0.0
     return out
 
@@ -198,6 +220,20 @@ def train(args):
     roi_vars = model.init(jax.random.PRNGKey(args.seed + 1), p2, rois,
                           method=model.roi_outputs)
     params = {**roi_vars["params"], **variables["params"]}
+    if args.pretrained:
+        # pretrained-backbone surgery: keep the torchvision body, fresh heads
+        # (reference fashion.py:112-123 swaps predictors on a pretrained net)
+        from vqvae2_tpu.models.resnet import import_torchvision_resnet
+
+        filled, n = import_torchvision_resnet(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            args.pretrained)
+        params = filled["params"]
+        variables = {**variables, "batch_stats": filled["batch_stats"]}
+        if par.is_primary():
+            print(f"imported {n} backbone tensors from {args.pretrained}",
+                  flush=True)
     state = MRState(step=jnp.zeros((), jnp.int32), params=params,
                     batch_stats=variables.get("batch_stats", {}),
                     opt_state=tx.init(params))
@@ -227,7 +263,8 @@ def train(args):
 
     if args.eval:
         m.update(evaluate_instances(model, state, dataset, anchors,
-                                    batch_size=args.batch_size))
+                                    batch_size=args.batch_size,
+                                    viz_dir=args.viz_dir))
         if par.is_primary():
             print({k: round(float(v), 4) for k, v in m.items()
                    if not k.startswith("AP50_class")}, flush=True)
@@ -245,9 +282,13 @@ def build_argparser():
     p.add_argument("--num_proposals", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--arch", type=str, default="resnet18")
+    p.add_argument("--pretrained", type=str, default="",
+                   help="torchvision resnet state_dict (.pt) for the backbone")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--viz_dir", type=str, default="",
+                   help="dump annotated [pred | GT] PNGs during --eval")
     p.add_argument("--log_every", type=int, default=10)
     return p
 
