@@ -39,12 +39,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         residual = x
-        h = nn.Conv(self.features, (3, 3), strides=self.strides, padding="SAME",
+        # explicit (1,1) pad = torch Conv2d(padding=1); "SAME" would pad
+        # (0,1) on even inputs under stride 2, misaligning pretrained weights
+        h = nn.Conv(self.features, (3, 3), strides=self.strides,
+                    padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv2")(h)
+        h = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
         if self.downsample:
             residual = nn.Conv(self.features, (1, 1), strides=self.strides,
@@ -70,7 +73,8 @@ class Bottleneck(nn.Module):
         h = nn.relu(h)
         # torchvision places the stride on conv2 (ResNet-B); the reference's
         # last-stride surgery zeroes exactly this stride (model.py:81-82)
-        h = nn.Conv(self.features, (3, 3), strides=self.strides, padding="SAME",
+        h = nn.Conv(self.features, (3, 3), strides=self.strides,
+                    padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
         h = nn.relu(h)
@@ -156,56 +160,121 @@ def pool_dim(arch: str) -> int:
     return CONFIGS[arch]["width"]
 
 
-def load_torchvision_weights(variables, state_dict_path: str, arch: str):
-    """Convert a locally-available torchvision ``state_dict`` (``.pt`` readable
-    by ``torch.load``) into this module's variables.  Best-effort mapping of
-    conv/bn tensors (OIHW→HWIO); raises if the file is absent."""
-    import torch
+def _torchvision_arrays(sd) -> dict:
+    """torch ``state_dict`` (or checkpoint wrapping one) → {resnet key: np}.
 
-    sd = torch.load(state_dict_path, map_location="cpu")
-    out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    Strips ``module.`` wrappers and any common prefix in front of the
+    canonical torchvision naming (``conv1.weight``, ``layer2.0.conv1.weight``,
+    …) so checkpoints saved from wrapped models (DDP, ``backbone.body.`` of
+    torchvision detection models) import too.
+    """
+    import numpy as np
 
-    def conv_w(name):
-        return jnp.asarray(sd[name].numpy().transpose(2, 3, 1, 0))
+    for key in ("state_dict", "model", "net"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    arrays = {}
+    for k, v in sd.items():
+        arrays[k[7:] if k.startswith("module.") else k] = (
+            v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+    if "conv1.weight" not in arrays:
+        tails = [k for k in arrays if k.endswith("conv1.weight")
+                 and ".layer" not in k]
+        if tails:
+            prefix = tails[0][: -len("conv1.weight")]
+            arrays = {k[len(prefix):]: v for k, v in arrays.items()
+                      if k.startswith(prefix)}
+    return arrays
 
-    def put(tree, path, val):
-        node = tree
-        for k in path[:-1]:
-            node = node[k]
-        node[path[-1]] = val
 
-    import flax
-    params = flax.core.unfreeze(out["params"])
-    stats = flax.core.unfreeze(out.get("batch_stats", {}))
+def import_torchvision_resnet(variables, state_dict):
+    """Fill every ResNet stem/trunk found in ``variables`` from a torchvision
+    ``state_dict`` — the TPU analogue of the reference's pretrained-backbone
+    surgery (``fashion.py:112-123`` keeps the pretrained torchvision body and
+    swaps the heads; ``model.py:79-90`` deep-copies one pretrained base into
+    each modality stem, ``model.py:117-123``).
 
-    def copy_bn(dst_prefix, src_prefix):
-        put(params, dst_prefix + ["scale"], jnp.asarray(sd[src_prefix + ".weight"].numpy()))
-        put(params, dst_prefix + ["bias"], jnp.asarray(sd[src_prefix + ".bias"].numpy()))
-        put(stats, dst_prefix + ["mean"], jnp.asarray(sd[src_prefix + ".running_mean"].numpy()))
-        put(stats, dst_prefix + ["var"], jnp.asarray(sd[src_prefix + ".running_var"].numpy()))
+    Walks the variables tree: any node holding ``conv1``+``bn1``+``layer1_0``
+    is a stem (filled from ``conv1``/``bn1``); any ``layer{L}_{i}`` child with
+    block structure is filled from ``layer{L}.{i}``.  Multiple stems (the
+    ReID modality stems) all receive the same pretrained weights, exactly as
+    the reference's deep copies do.  Conv kernels transpose OIHW→HWIO; copies
+    are shape-checked.  Returns ``(variables, n_tensors_copied)``.
+    """
+    import re
 
-    # stem
-    put(params, ["conv1", "kernel"], conv_w("conv1.weight"))
-    copy_bn(["bn1"], "bn1")
-    # layers are mapped by enumeration: layer{L}_{i} ↔ layer{L}.{i}
-    for l in range(1, 5):
-        i = 0
-        while f"layer{l}.{i}.conv1.weight" in sd:
-            dst = f"layer{l}_{i}"
-            if dst not in params:
-                break
-            blk = params[dst]
-            for cname in ("conv1", "conv2", "conv3"):
-                if f"layer{l}.{i}.{cname}.weight" in sd and cname in blk:
-                    put(params, [dst, cname, "kernel"], conv_w(f"layer{l}.{i}.{cname}.weight"))
-                    copy_bn([dst, f"bn{cname[-1]}"], f"layer{l}.{i}.bn{cname[-1]}")
-            if f"layer{l}.{i}.downsample.0.weight" in sd and "ds_conv" in blk:
-                put(params, [dst, "ds_conv", "kernel"], conv_w(f"layer{l}.{i}.downsample.0.weight"))
-                copy_bn([dst, "ds_bn"], f"layer{l}.{i}.downsample.1")
-            i += 1
+    import numpy as np
 
-    out = dict(out)
-    out["params"] = flax.core.freeze(params) if isinstance(variables.get("params"), flax.core.FrozenDict) else params
-    if stats:
-        out["batch_stats"] = stats
+    sd = (_torchvision_arrays(state_dict) if not isinstance(state_dict, str)
+          else None)
+    if sd is None:
+        import torch
+
+        sd = _torchvision_arrays(torch.load(state_dict, map_location="cpu"))
+
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # deep container copy
+    params = out.get("params", out)
+    stats = out.get("batch_stats", {})
+    copied = [0]
+    block_re = re.compile(r"^layer([1-4])_(\d+)$")
+
+    def put(dst, leaf, src_key, transpose=False):
+        if src_key not in sd:
+            return
+        v = sd[src_key]
+        if transpose:
+            v = v.transpose(2, 3, 1, 0)  # OIHW → HWIO
+        if leaf not in dst or tuple(dst[leaf].shape) != tuple(v.shape):
+            raise ValueError(
+                f"shape mismatch importing {src_key}: model "
+                f"{tuple(dst[leaf].shape) if leaf in dst else None} vs "
+                f"checkpoint {tuple(v.shape)} — wrong arch?")
+        dst[leaf] = jnp.asarray(np.ascontiguousarray(v))
+        copied[0] += 1
+
+    def copy_bn(pnode, snode, dst, src):
+        put(pnode[dst], "scale", f"{src}.weight")
+        put(pnode[dst], "bias", f"{src}.bias")
+        if isinstance(snode, dict) and dst in snode:
+            put(snode[dst], "mean", f"{src}.running_mean")
+            put(snode[dst], "var", f"{src}.running_var")
+
+    def copy_block(pnode, snode, src):
+        for j in ("1", "2", "3"):
+            if f"conv{j}" in pnode and f"{src}.conv{j}.weight" in sd:
+                put(pnode[f"conv{j}"], "kernel", f"{src}.conv{j}.weight",
+                    transpose=True)
+                copy_bn(pnode, snode, f"bn{j}", f"{src}.bn{j}")
+        if "ds_conv" in pnode and f"{src}.downsample.0.weight" in sd:
+            put(pnode["ds_conv"], "kernel", f"{src}.downsample.0.weight",
+                transpose=True)
+            copy_bn(pnode, snode, "ds_bn", f"{src}.downsample.1")
+
+    def walk(pnode, snode):
+        if not isinstance(pnode, dict):
+            return
+        if "conv1" in pnode and "bn1" in pnode and "layer1_0" in pnode:
+            put(pnode["conv1"], "kernel", "conv1.weight", transpose=True)
+            copy_bn(pnode, snode, "bn1", "bn1")
+        for k, child in pnode.items():
+            if not isinstance(child, dict):
+                continue
+            m = block_re.match(k)
+            schild = snode.get(k, {}) if isinstance(snode, dict) else {}
+            if m and "conv1" in child and "kernel" in child.get("conv1", {}):
+                copy_block(child, schild, f"layer{m.group(1)}.{m.group(2)}")
+            else:
+                walk(child, schild)
+
+    walk(params, stats)
+    if copied[0] == 0:
+        raise ValueError("no ResNet stem/trunk pattern found in variables — "
+                         "nothing imported")
+    return out, copied[0]
+
+
+def load_torchvision_weights(variables, state_dict_path: str, arch: str = ""):
+    """Back-compat wrapper: import a torchvision resnet ``.pt`` file into
+    ``variables`` (see :func:`import_torchvision_resnet`)."""
+    out, _ = import_torchvision_resnet(variables, state_dict_path)
     return out
