@@ -250,3 +250,58 @@ def test_pixelsnail_top_oracle():
 def test_pixelsnail_bottom_oracle():
     ours, ref = _pixelsnail_pair(attention=False, conditional=True)
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# VQVAE_Deep: codes, quant latents, styled decode (vqvae_deep.py:234-320)
+# ---------------------------------------------------------------------------
+
+def test_vqvae_deep_oracle():
+    import vqvae_deep as ref
+
+    from vqvae2_tpu.models.vqvae_deep import VQVAE_Deep
+    from vqvae2_tpu.utils import torch_import as ti
+
+    g = _seed(4)
+    cfg = dict(channel=32, n_res_block=2, n_res_channel=16, embed_dim=D,
+               n_embed=K, style_dim=8)
+    rm = ref.VQVAE_Deep(in_channel=3, out_channel=3, **cfg).eval()
+    model = VQVAE_Deep(in_channel=3, out_channel=3, **cfg)
+
+    x = g.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    s = g.normal(size=(2, 8)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(s))
+    variables = ti.import_vqvae_deep(rm.state_dict(), variables)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    st = torch.from_numpy(s)
+    with torch.no_grad():
+        enc_b_t, enc_t_t = rm.encode(xt)
+        quant_t_t, quant_b_t, diff_t, id_t_t, id_b_t = rm.quantize(
+            enc_b_t, enc_t_t)
+        quant_full = torch.cat([rm.upsample_t(quant_t_t), quant_b_t], 1)
+        # reference forward() calls self.decode(quant) without the style the
+        # decoder requires (vqvae_deep.py:279 — known bug); drive dec directly
+        dec_t = rm.dec(quant_full, st)
+
+    enc_b, enc_t = model.apply(variables, jnp.asarray(x), method=model.encode)
+    quant_t, quant_b, diff, id_t, id_b = model.apply(
+        variables, enc_b, enc_t, method=model.quantize)
+    # bit-exact code indices
+    np.testing.assert_array_equal(np.asarray(id_t),
+                                  id_t_t.numpy())
+    np.testing.assert_array_equal(np.asarray(id_b),
+                                  id_b_t.numpy())
+    np.testing.assert_allclose(np.asarray(quant_t),
+                               quant_t_t.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(diff), float(diff_t.sum()), atol=1e-5)
+
+    dec, diff2, quant = model.apply(variables, jnp.asarray(x), jnp.asarray(s))
+    np.testing.assert_allclose(np.asarray(quant),
+                               quant_full.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dec),
+                               dec_t.permute(0, 2, 3, 1).numpy(),
+                               atol=5e-4, rtol=1e-4)

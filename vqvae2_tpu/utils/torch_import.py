@@ -165,6 +165,79 @@ def jax_tree_copy(tree):
     return tree
 
 
+def _set_conv(dst: Dict, tpre: str, sd) -> None:
+    dst["kernel"] = conv_kernel(sd[f"{tpre}.weight"])
+    if f"{tpre}.bias" in sd:
+        dst["bias"] = jnp.asarray(sd[f"{tpre}.bias"])
+
+
+def _import_deep_decoder(p: Dict, tpre: str, sd) -> None:
+    """Reference deep ``Decoder`` (vqvae_deep.py:177-229): named ``conv1``,
+    ``blocks`` of ResBlock or AdainResBlk, ``up_sample`` Sequential of
+    transposed convs.  The torch AdainResBlk carries a dead ``conv``
+    Sequential (vqvae_deep.py:120-125, never called) — skipped."""
+    _set_conv(p["conv1"], f"{tpre}.conv1", sd)
+    j = 0
+    while True:
+        if f"ResBlock_{j}" in p:  # plain residual (conv.1 3×3, conv.3 1×1)
+            rb = p[f"ResBlock_{j}"]
+            _set_conv(rb["Conv_0"], f"{tpre}.blocks.{j}.conv.1", sd)
+            _set_conv(rb["Conv_1"], f"{tpre}.blocks.{j}.conv.3", sd)
+        elif f"adain{j}" in p:    # AdaIN residual (vqvae_deep.py:112-134)
+            ab = p[f"adain{j}"]
+            _set_conv(ab["conv1"], f"{tpre}.blocks.{j}.conv1", sd)
+            _set_conv(ab["conv2"], f"{tpre}.blocks.{j}.conv2", sd)
+            for norm in ("norm1", "norm2"):
+                fc = ab[norm]["fc"]
+                fc["kernel"] = dense_kernel(sd[f"{tpre}.blocks.{j}.{norm}.fc.weight"])
+                fc["bias"] = jnp.asarray(sd[f"{tpre}.blocks.{j}.{norm}.fc.bias"])
+        else:
+            break
+        j += 1
+    ups = sorted((int(k.split(".")[-2]), k) for k in sd
+                 if k.startswith(f"{tpre}.up_sample.") and k.endswith(".weight"))
+    tkeys = sorted((k for k in p if k.startswith("ConvTranspose_")),
+                   key=lambda s: int(s.split("_")[1]))
+    assert len(ups) == len(tkeys), (tpre, len(ups), len(tkeys))
+    for (idx, k), ours in zip(ups, tkeys):
+        p[ours]["kernel"] = conv_transpose_kernel(sd[k])
+        p[ours]["bias"] = jnp.asarray(sd[k[:-len("weight")] + "bias"])
+
+
+def import_vqvae_deep(state_dict: Dict[str, Any], variables) -> Dict[str, Any]:
+    """Convert a reference ``VQVAE_Deep`` state_dict (vqvae_deep.py:234-320)
+    into our :class:`vqvae2_tpu.models.vqvae_deep.VQVAE_Deep` variables —
+    encoders via Sequential enumeration, deep decoders via
+    :func:`_import_deep_decoder` (incl. the AdaIN style projectors), quantizer
+    EMA buffers transposed to (K, D)."""
+    sd = _to_np(state_dict)
+    params = jax_tree_copy(variables["params"])
+    vq = jax_tree_copy(variables["vq_stats"])
+
+    for enc, pref in (("enc_b", "enc_b.blocks"), ("enc_t", "enc_t.blocks")):
+        _import_sequential_convs(params[enc], pref, sd)
+    _import_deep_decoder(params["dec_t"], "dec_t", sd)
+    _import_deep_decoder(params["dec"], "dec", sd)
+
+    for name in ("quantize_conv_t", "quantize_conv_b"):
+        _set_conv(params[name], name, sd)
+    up_key = ("upsample_t.weight" if "upsample_t.weight" in sd
+              else "upsample_t.0.weight")
+    params["upsample_t"]["kernel"] = conv_transpose_kernel(sd[up_key])
+    params["upsample_t"]["bias"] = jnp.asarray(
+        sd[up_key.replace("weight", "bias")])
+
+    for q in ("quantize_t", "quantize_b"):
+        vq[q]["embed"] = jnp.asarray(sd[f"{q}.embed"].T)          # (K, D)
+        vq[q]["embed_avg"] = jnp.asarray(sd[f"{q}.embed_avg"].T)
+        vq[q]["cluster_size"] = jnp.asarray(sd[f"{q}.cluster_size"])
+
+    out = dict(variables)
+    out["params"] = params
+    out["vq_stats"] = vq
+    return out
+
+
 def import_pixelsnail(state_dict: Dict[str, Any], variables) -> Dict[str, Any]:
     """Convert a reference ``PixelSNAIL`` state_dict (pixelsnail.py:326-395)
     into our :class:`vqvae2_tpu.models.pixelsnail.PixelSNAIL` variables.
