@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 SIZE = 256
-BATCH = 64
+BATCH = 128  # measured on v5e: b128 sustains ~30% more img/s than b64
 EMBED_DIM = 64
 N_EMBED = 512
 CHANNEL = 128

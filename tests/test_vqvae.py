@@ -116,3 +116,15 @@ def test_vqvae_spmd_data_parallel(small_vqvae, devices):
             np.asarray(stats1[q]["embed"]), np.asarray(stats8[q]["embed"]),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_encode_rejects_non_multiple_of_8():
+    """The stride-2 top path must invert exactly; H,W % 8 != 0 now raises a
+    clear error instead of a deep concat TypeError (round-1 rough edge)."""
+    import pytest as _pytest
+
+    model = VQVAE(channel=16, n_res_block=1, n_res_channel=8, embed_dim=8,
+                  n_embed=16)
+    x = jnp.zeros((1, 36, 40, 3), jnp.float32)
+    with _pytest.raises(ValueError, match="divisible by 8"):
+        model.init(jax.random.PRNGKey(0), x)

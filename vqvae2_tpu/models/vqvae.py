@@ -271,6 +271,14 @@ class VQVAE(nn.Module):
     def encode(self, x: jax.Array, train: bool = False):
         """Reference ``encode`` (``vqvae.py:223-240``): returns
         ``(quant_t, quant_b, diff, id_t, id_b)`` — all NHWC, no permutes."""
+        h, w = x.shape[1:3]
+        if h % 8 or w % 8:
+            # same constraint as the torch reference: the stride-2 transposed
+            # conv must exactly invert enc_t's stride-2, so H/4 and W/4 must
+            # be even (otherwise the dec_t/enc_b concat shapes diverge)
+            raise ValueError(
+                f"VQVAE needs image H and W divisible by 8, got {(h, w)}; "
+                f"pad or resize the input")
         enc_b = self.enc_b(x)
         enc_t = self.enc_t(enc_b)
 
