@@ -197,3 +197,29 @@ def test_lr_finder_records_and_suggests(tmp_path):
     lines = out.read_text().strip().splitlines()
     assert len(lines) == len(finder.lrs)
     assert float(lines[0].split(",")[0]) == finder.lrs[0]
+
+
+def test_iterate_batches_workers_and_prefetch_iter():
+    """Worker-pool decode preserves order/content (reference
+    DataLoader(num_workers=N) equivalence); prefetch_iter propagates
+    producer errors."""
+    from vqvae2_tpu.data.datasets import (SyntheticImages, iterate_batches,
+                                          prefetch_iter)
+
+    ds = SyntheticImages(n=20, size=8)
+    serial = [(b[0].sum(), b[1].tolist())
+              for b in iterate_batches(ds, 4, seed=1, workers=0)]
+    pooled = [(b[0].sum(), b[1].tolist())
+              for b in iterate_batches(ds, 4, seed=1, workers=4)]
+    assert len(serial) == 5
+    for (sa, la), (sb, lb) in zip(serial, pooled):
+        assert la == lb and np.isclose(sa, sb)
+
+    assert list(prefetch_iter(lambda: range(7))) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(prefetch_iter(boom))

@@ -89,10 +89,17 @@ def iterate_batches(
     drop_last: bool = True,
     prefetch: int = 2,
     epochs: Optional[int] = 1,
+    workers: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, List[str]]]:
-    """Threaded global-batch iterator yielding (imgs NHWC, labels, paths)."""
+    """Threaded global-batch iterator yielding (imgs NHWC, labels, paths).
 
-    def producer(q: queue.Queue):
+    ``workers`` > 0 decodes items through a thread pool (PIL decode and the
+    numpy resize release the GIL) — the equivalence of the reference's
+    ``DataLoader(num_workers=…)`` (``train_vqvae.py:199-201``,
+    ``train_pixelsnail.py:94-96``); device dispatch is already async, so one
+    producer thread + a pool overlaps host decode with TPU compute."""
+
+    def producer(q: queue.Queue, pool):
         epoch = 0
         while epochs is None or epoch < epochs:
             order = np.random.default_rng(seed + epoch).permutation(len(dataset)) \
@@ -102,7 +109,11 @@ def iterate_batches(
                 idx = order[s : s + batch_size]
                 if len(idx) < batch_size and drop_last:
                     break
-                items = [dataset[int(i)] for i in idx]
+                if pool is not None:
+                    items = list(pool.map(dataset.__getitem__,
+                                          [int(i) for i in idx]))
+                else:
+                    items = [dataset[int(i)] for i in idx]
                 imgs = np.stack([it[0] for it in items])
                 labels = np.asarray([it[1] for it in items], np.int32)
                 paths = [it[2] for it in items]
@@ -110,11 +121,51 @@ def iterate_batches(
             epoch += 1
         q.put(None)
 
+    pool = None
+    if workers:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
-    t = threading.Thread(target=producer, args=(q,), daemon=True)
+    t = threading.Thread(target=producer, args=(q, pool), daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
+
+
+def prefetch_iter(make_iter, depth: int = 2):
+    """Run any batch-producing iterable in a background thread with a bounded
+    queue — keeps host-side collate (augmentation, numpy stacking) off the
+    device dispatch path for the SYSU trainers whose batches are built inline.
+
+    ``make_iter`` is a zero-arg callable returning the iterable (so the work
+    happens on the producer thread, not at call time)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+    err: List[BaseException] = []
+
+    def producer():
+        try:
+            for item in make_iter():
+                q.put(item)
+        except BaseException as e:  # surface producer errors to the consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
     t.start()
     while True:
         item = q.get()
-        if item is None:
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
             return
         yield item
