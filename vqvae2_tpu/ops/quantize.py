@@ -67,15 +67,49 @@ def nearest_code_reference(
     )
     indices = jnp.argmax(score, axis=1).astype(jnp.int32)
     onehot = jax.nn.one_hot(indices, embed.shape[0], dtype=jnp.float32)
-    quantized = (onehot @ embed32).astype(flat.dtype)
+    # HIGHEST keeps these two products exact on TPU: the MXU's fast
+    # single-pass default would round the looked-up codebook rows / EMA stat
+    # sums to bf16 precision (the Pallas kernel uses a cheaper 3-chunk split
+    # with the same exactness guarantee).
+    quantized = jnp.matmul(
+        onehot, embed32, precision=jax.lax.Precision.HIGHEST
+    ).astype(flat.dtype)
     cluster_sum = jnp.sum(onehot, axis=0)
-    embed_sum = onehot.T @ flat32
+    embed_sum = jnp.matmul(onehot.T, flat32,
+                           precision=jax.lax.Precision.HIGHEST)
     return indices, quantized, cluster_sum, embed_sum
 
 
 # ---------------------------------------------------------------------------
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
+
+def _split3(m: jax.Array):
+    """Split an fp32 array into 3 bf16-exact chunks with ``m == m1+m2+m3``
+    exactly (fp32 has 24 mantissa bits = 3×8 bf16 chunks)."""
+    m1 = m.astype(jnp.bfloat16)
+    r = m - m1.astype(jnp.float32)
+    m2 = r.astype(jnp.bfloat16)
+    m3 = (r - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return m1, m2, m3
+
+
+def _exact_onehot_dot(onehot_b: jax.Array, m: jax.Array,
+                      dims=(((1,), (0,)), ((), ()))) -> jax.Array:
+    """Exact fp32 ``onehot @ m`` in 3 single-pass MXU matmuls.
+
+    The MXU's fast fp32 default rounds operands to bf16 (one pass), so a plain
+    dot returns bf16-rounded codebook rows / stat sums; HIGHEST is exact but
+    costs 6 passes.  Since one-hot values (0/1) are bf16-exact, splitting only
+    ``m`` into 3 bf16-exact chunks and summing the three exact products in
+    fp32 reconstructs the exact fp32 result in half the passes."""
+    parts = [
+        jax.lax.dot_general(onehot_b, c, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+        for c in _split3(m)
+    ]
+    return (parts[0] + parts[1]) + parts[2]
+
 
 def _quantize_kernel_nostats(x_ref, embed_ref, idx_ref, q_ref):
     """Eval/extract flavor: distances + argmin + lookup only (no EMA stats —
@@ -91,12 +125,11 @@ def _quantize_kernel_nostats(x_ref, embed_ref, idx_ref, q_ref):
              - jnp.sum(embed * embed, axis=1)[None, :])
     best = jnp.argmax(score, axis=1).astype(jnp.int32)
     idx_ref[:] = best[:, None]
-    onehot = (
+    onehot_b = (
         best[:, None] == jax.lax.broadcasted_iota(jnp.int32,
                                                   (x.shape[0], embed.shape[0]), 1)
-    ).astype(jnp.float32)
-    q_ref[:] = jnp.dot(onehot, embed,
-                       preferred_element_type=jnp.float32).astype(q_ref.dtype)
+    ).astype(jnp.bfloat16)
+    q_ref[:] = _exact_onehot_dot(onehot_b, embed).astype(q_ref.dtype)
 
 
 def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
@@ -125,14 +158,14 @@ def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
     idx_ref[:] = best[:, None]
 
     k = embed.shape[0]
-    onehot = (
+    onehot_b = (
         best[:, None] == jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
-    ).astype(jnp.float32)                                        # (TN, K)
+    ).astype(jnp.bfloat16)                                       # (TN, K)
 
-    # Gather-free codebook lookup on the MXU.
-    q_ref[:] = jnp.dot(onehot, embed, preferred_element_type=jnp.float32).astype(
-        q_ref.dtype
-    )
+    # Gather-free codebook lookup on the MXU, exact via the 3-chunk split
+    # (see _exact_onehot_dot — a plain fast-fp32 dot would hand back
+    # bf16-rounded codebook rows and bf16-rounded EMA stat sums).
+    q_ref[:] = _exact_onehot_dot(onehot_b, embed).astype(q_ref.dtype)
 
     # EMA sufficient statistics, accumulated across sequential grid steps.
     @pl.when(step == 0)
@@ -140,12 +173,9 @@ def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
         csum_ref[:] = jnp.zeros_like(csum_ref)
         esum_ref[:] = jnp.zeros_like(esum_ref)
 
-    csum_ref[:] += jnp.sum(onehot, axis=0)[None, :]
-    esum_ref[:] += jax.lax.dot_general(
-        onehot, x,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    csum_ref[:] += jnp.sum(onehot_b.astype(jnp.float32), axis=0)[None, :]
+    esum_ref[:] += _exact_onehot_dot(
+        onehot_b, x, dims=(((0,), (0,)), ((), ())))
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
