@@ -169,3 +169,21 @@ def prefetch_iter(make_iter, depth: int = 2):
                 raise err[0]
             return
         yield item
+
+
+def epoch_row_batches(dataset, loader_batch: int, depth: int = 2):
+    """Prefetched sequential row batches for one epoch of an identity-sampled
+    dataset (call after ``samplize()``): yields ``[dataset[i], ...]`` lists of
+    length ``loader_batch`` for each full window, gathered on a background
+    thread. Pure indexing — augmentation RNG inside ``dataset.__getitem__``
+    still advances in the same deterministic order (single producer thread),
+    so results are identical to inline gathering; the decode/augment cost just
+    overlaps the device step. Replaces the reference's
+    ``DataLoader(sampler=IdentitySampler, num_workers=…)`` input pipeline
+    (``train_vqvae.py:197-201``)."""
+
+    def gen():
+        for s in range(0, len(dataset) - loader_batch + 1, loader_batch):
+            yield [dataset[int(i)] for i in range(s, s + loader_batch)]
+
+    return prefetch_iter(gen, depth=depth)

@@ -28,6 +28,7 @@ from flax import struct
 
 from vqvae2_tpu import losses as L
 from vqvae2_tpu import parallel as par
+from vqvae2_tpu.data.datasets import epoch_row_batches
 from vqvae2_tpu.data.sysu import SYSUData
 from vqvae2_tpu.models.adaptive import ModelAdaptive
 from vqvae2_tpu.utils import schedules
@@ -185,8 +186,7 @@ def train(args):
     n_done, m, t0 = 0, {}, time.perf_counter()
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
-        for s in range(0, len(dataset) - loader_batch + 1, loader_batch):
-            rows = [dataset[int(i)] for i in range(s, s + loader_batch)]
+        for rows in epoch_row_batches(dataset, loader_batch):
             imgs1 = np.stack([r[0] for r in rows])
             imgs2 = np.stack([r[1] for r in rows])
             batch = par.shard_batch({

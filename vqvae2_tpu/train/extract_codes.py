@@ -26,7 +26,7 @@ from vqvae2_tpu.utils.checkpoint import CheckpointManager
 
 
 def extract(model: VQVAE, variables, dataset, out_path: str,
-            batch_size: int = 64, size: int = 256) -> int:
+            batch_size: int = 64, size: int = 256, workers: int = 4) -> int:
     mesh = par.default_mesh()
 
     @jax.jit
@@ -39,7 +39,8 @@ def extract(model: VQVAE, variables, dataset, out_path: str,
     writer = CodeStoreWriter(out_path, top_shape, bot_shape)
     n = 0
     for imgs, labels, paths in iterate_batches(
-        dataset, batch_size, shuffle=False, drop_last=False, epochs=1
+        dataset, batch_size, shuffle=False, drop_last=False, epochs=1,
+        workers=workers,
     ):
         pad = 0
         if len(imgs) % jax.device_count() != 0:
@@ -72,6 +73,8 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--random_init", action="store_true",
                    help="skip checkpoint restore (smoke runs)")
+    p.add_argument("--workers", type=int, default=4,
+                   help="decode thread pool size; 0 = inline")
     # model config (overridden by the checkpoint's config.json when present)
     p.add_argument("--channel", type=int, default=128)
     p.add_argument("--n_res_block", type=int, default=2)
@@ -118,7 +121,8 @@ def main(argv=None):
         variables = {"params": state.params, "vq_stats": state.vq_stats}
 
     n = par.launch(extract, model, variables, dataset, args.name,
-                   batch_size=args.batch_size, size=args.size)
+                   batch_size=args.batch_size, size=args.size,
+                   workers=args.workers)
     print(f"wrote {n} code rows to {args.name}")
 
 

@@ -28,6 +28,7 @@ from flax import struct, traverse_util
 
 from vqvae2_tpu import losses as L
 from vqvae2_tpu import parallel as par
+from vqvae2_tpu.data.datasets import epoch_row_batches
 from vqvae2_tpu.data.sysu import SYSUData
 from vqvae2_tpu.part import criterion as C
 from vqvae2_tpu.part.part_model import EmbedNet2
@@ -222,8 +223,7 @@ def make_synthetic_sysu(tmpdir: str, n_ids: int = 8, per_id: int = 8,
     return tmpdir
 
 
-def collate(dataset: SYSUData, indices, img_hw=(IMG_H, IMG_W)) -> Dict[str, np.ndarray]:
-    rows = [dataset[int(i)] for i in indices]
+def collate(rows, img_hw=(IMG_H, IMG_W)) -> Dict[str, np.ndarray]:
     rgb = np.stack([r[0] for r in rows])
     ir = np.stack([r[1] for r in rows])
     label = np.asarray([r[2] for r in rows], np.int32)
@@ -277,8 +277,8 @@ def train(args):
     while n_done < total_steps:
         epoch += 1
         dataset.samplize(args.batch_size, args.num_pos)
-        for s in range(0, len(dataset) - loader_batch + 1, loader_batch):
-            batch = collate(dataset, range(s, s + loader_batch), img_hw)
+        for rows in epoch_row_batches(dataset, loader_batch):
+            batch = collate(rows, img_hw)
             batch = par.shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch, rng)
             n_done += 1

@@ -135,7 +135,8 @@ def train(args) -> Dict[str, float]:
     tb = TensorBoardWriter(args.logdir)
 
     it = iterate_batches(dataset, args.batch_size, seed=args.seed,
-                         epochs=None if args.steps else args.epoch)
+                         epochs=None if args.steps else args.epoch,
+                         workers=args.workers)
     metrics_hist: Dict[str, float] = {}
     t0 = time.perf_counter()
     n_done = 0
@@ -190,6 +191,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sample_dir", type=str, default="sample")
     p.add_argument("--sample_every", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--workers", type=int, default=4,
+                   help="decode thread pool size (reference DataLoader "
+                        "num_workers, train_vqvae.py:199-201); 0 = inline")
     p.add_argument("--logdir", type=str, default="",
                    help="TensorBoard scalar logdir (optional)")
     return p

@@ -36,6 +36,7 @@ from flax import struct
 
 from vqvae2_tpu import losses as L
 from vqvae2_tpu import parallel as par
+from vqvae2_tpu.data.datasets import epoch_row_batches
 from vqvae2_tpu.data.sysu import SYSUData
 from vqvae2_tpu.models.adaptive import ModelAdaptiveBi_Deep
 from vqvae2_tpu.utils.image import save_image
@@ -318,8 +319,7 @@ def train(args):
     n_done, m, t0 = 0, {}, time.perf_counter()
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
-        for s in range(0, len(dataset) - loader_batch + 1, loader_batch):
-            rows = [dataset[int(i)] for i in range(s, s + loader_batch)]
+        for rows in epoch_row_batches(dataset, loader_batch):
             rgb = np.stack([r[0] for r in rows])
             ir = np.stack([r[1] for r in rows])
             wmix = host_rng.random((len(rgb), 3)) + 0.01
