@@ -41,7 +41,50 @@ def check_quantize():
     assert np.allclose(np.asarray(cs), np.asarray(rcs)), "cluster sums"
     i2, q2 = qz._nearest_code_pallas_nostats(flat, embed)
     assert (np.asarray(i2) == np.asarray(ridx)).all(), "nostats index mismatch"
-    return "32k rows, 512 codes: exact"
+    # lookups must be the exact fp32 codebook rows (3-chunk split matmul;
+    # the MXU fast-fp32 default would round them to bf16)
+    gather = np.asarray(jnp.take(embed, idx, axis=0))
+    assert (np.asarray(q) == gather).all(), "stats lookup not exact"
+    assert (np.asarray(q2) == gather).all(), "nostats lookup not exact"
+    return "32k rows, 512 codes: indices + lookups exact"
+
+
+@check("flash attention == XLA full-matrix (fwd/bwd, dropout determinism)")
+def check_flash_attention():
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.ops.flash_attention import (causal_attention_reference,
+                                                causal_flash_attention)
+
+    P = jax.lax.Precision.HIGHEST
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 8, 1024, 16)).astype(np.float32))
+               for _ in range(3))
+    out_f = jax.jit(lambda q, k, v: causal_flash_attention(
+        q, k, v, precision=P))(q, k, v)
+    out_r = jax.jit(lambda q, k, v: causal_attention_reference(
+        q, k, v, precision=P))(q, k, v)
+    err = float(jnp.max(jnp.abs(out_f - out_r)))
+    assert err < 1e-5, f"fwd err {err}"
+    assert float(jnp.max(jnp.abs(out_f[:, :, 0]))) == 0.0, "row 0 not zero"
+
+    def f_flash(q, k, v):
+        return jnp.sum(jnp.sin(causal_flash_attention(q, k, v, precision=P)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.sin(causal_attention_reference(q, k, v, precision=P)))
+
+    gf = jax.jit(jax.grad(f_flash, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(q, k, v)
+    gerr = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(gf, gr))
+    assert gerr < 5e-3, f"grad err {gerr}"
+
+    key = jax.random.PRNGKey(3)
+    fd = jax.jit(lambda q, k, v: causal_flash_attention(
+        q, k, v, dropout_rate=0.1, dropout_rng=key, precision=P))
+    assert bool(jnp.array_equal(fd(q, k, v), fd(q, k, v))), "dropout not deterministic"
+    return f"n=1024: fwd err {err:.1e}, grad err {gerr:.1e}, dropout deterministic"
 
 
 @check("fused inplace-ABN fwd+bwd vs autodiff")
@@ -216,8 +259,9 @@ def main():
     import jax
 
     print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
-    checks = [check_quantize, check_abn, check_incremental, check_bench,
-              check_train_step, check_sampling_rate]
+    checks = [check_quantize, check_flash_attention, check_abn,
+              check_incremental, check_bench, check_train_step,
+              check_sampling_rate]
     failed = 0
     for fn in checks:
         name = fn._check_name

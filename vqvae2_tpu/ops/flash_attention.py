@@ -1,0 +1,387 @@
+"""Strictly-causal flash attention for the PixelSNAIL prior.
+
+TPU-native replacement for the full-matrix causal attention of the reference
+(``pixelsnail.py:182-234``): there, the ``(N, N)`` attention matrix is
+materialized (masked scores, softmax, dropout, weighted sum).  At the bottom
+hierarchy (N = 64·64 = 4096, batch 16, 8 heads) that matrix is 8 GB in fp32
+and its gradient another 8 GB — the dominant HBM traffic (and a hard OOM for
+the standalone layer) of the stage-2 train step.
+
+This kernel streams K/V tiles through VMEM with the online-softmax recurrence
+(Flash-Attention), so nothing of size ``(N, N)`` ever touches HBM:
+
+* **Strict causality** — query ``i`` attends keys ``j < i`` only (the
+  reference's ``tril(k=-1)`` mask), and row 0, which attends nothing, yields
+  an exactly-zero output (the reference's ``start_mask``,
+  ``pixelsnail.py:188-192,224-225``) — both fall out of one explicit tile
+  mask applied to the un-normalized probabilities.
+* **In-kernel dropout** on the attention probabilities (the reference's
+  ``nn.Dropout(0.1)`` on ``attn``): a counter-based draw from the TPU core
+  PRNG seeded per ``(batch·head, q-tile, k-tile)``, so the backward kernels
+  regenerate bit-identical keep masks without storing them.
+* **Flash backward** via ``jax.custom_vjp``: the forward saves only the
+  per-row log-sum-exp ``L``; two backward kernels recompute probability
+  tiles on the fly (dq over k-tiles; dk/dv over q-tiles).
+
+Block-causal pruning skips the MXU work of fully-masked tiles
+(``k-tile > q-tile``); with equal tile sizes that halves the compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _tile_seed(seed, bh, qb, kb):
+    """Deterministic per-tile PRNG seed (int32 wraparound arithmetic)."""
+    s = seed ^ (bh * jnp.int32(-1640531527))          # 0x9E3779B9
+    s = s ^ (qb * jnp.int32(40503) + jnp.int32(2654435))
+    return s ^ (kb * jnp.int32(69069) + jnp.int32(12345))
+
+
+def _keep_mask(shape, rate: float):
+    """Bernoulli(1-rate) keep mask from the seeded core PRNG."""
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    return (pltpu.bitcast(bits, jnp.uint32) >= threshold).astype(jnp.float32)
+
+
+def _causal_tile_mask(qb, kb, tq: int, tk: int):
+    """(tq, tk) strict-causal mask for the (qb, kb) tile pair: key j < query i."""
+    qi = qb * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    kj = kb * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    return (kj < qi).astype(jnp.float32)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, sm_scale, dropout_rate, nk,
+                precision):
+    bh, qb, kb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tq, d = q_ref.shape[1], q_ref.shape[2]
+    tk = k_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # Block-causal pruning: tiles strictly above the diagonal are all-masked.
+    @pl.when(kb <= qb)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * sm_scale
+        mask = _causal_tile_mask(qb, kb, tq, tk)
+        s = jnp.where(mask > 0, s, _NEG_INF)
+
+        m_prev = m_ref[:]                                   # (tq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # exp(_NEG_INF - m) underflows to 0 for any live row; fully-masked
+        # rows (row 0 of the grid) keep m == _NEG_INF, and the explicit
+        # `mask` factor zeroes their probabilities.
+        p = jnp.exp(s - m_new) * mask                       # (tq, tk)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qb, kb))
+            p_drop = p * _keep_mask((tq, tk), dropout_rate) / (1.0 - dropout_rate)
+        else:
+            p_drop = p
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p_drop, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        m_ref[:] = m_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        l = l_ref[:]
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        # log-sum-exp per row for the backward recompute; fully-masked rows
+        # keep lse == _NEG_INF (their p recomputes to 0 via the mask anyway).
+        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+               dq_ref, *, sm_scale, dropout_rate, nk, precision):
+    bh, qb, kb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tq, d = q_ref.shape[1], q_ref.shape[2]
+    tk = k_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    @pl.when(kb <= qb)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]                                    # (tq, 1)
+        dsum = dsum_ref[0]                                  # (tq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * sm_scale
+        mask = _causal_tile_mask(qb, kb, tq, tk)
+        p = jnp.exp(jnp.where(mask > 0, s, _NEG_INF) - lse) * mask
+
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                            # (tq, tk)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qb, kb))
+            dp = dp * _keep_mask((tq, tk), dropout_rate) / (1.0 - dropout_rate)
+        ds = p * (dp - dsum) * sm_scale
+        dq_ref[0] += jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                dk_ref, dv_ref, *, sm_scale, dropout_rate, nq, precision):
+    bh, kb, qb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tq = q_ref.shape[1]
+    tk = k_ref.shape[1]
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    @pl.when(kb <= qb)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        dsum = dsum_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) * sm_scale
+        mask = _causal_tile_mask(qb, kb, tq, tk)
+        p = jnp.exp(jnp.where(mask > 0, s, _NEG_INF) - lse) * mask
+
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qb, kb))
+            keep = _keep_mask((tq, tk), dropout_rate) / (1.0 - dropout_rate)
+            p_drop = p * keep
+        else:
+            keep = None
+            p_drop = p
+        dv_ref[0] += jax.lax.dot_general(
+            p_drop, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(dv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if keep is not None:
+            dp = dp * keep
+        ds = p * (dp - dsum) * sm_scale                     # (tq, tk)
+        dk_ref[0] += jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(dk_ref.dtype)
+
+
+def _pick_block(n: int, want: int) -> int:
+    b = min(want, n)
+    while n % b:
+        b //= 2
+    return max(b, 8)
+
+
+def _flash_fwd(q, k, v, seed, dropout_rate: float, block: int, precision,
+               interpret: bool = False):
+    bh, n, d = q.shape
+    tq = tk = _pick_block(n, block)
+    nq, nk = n // tq, n // tk
+    sm_scale = 1.0 / math.sqrt(d)
+    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale,
+                               dropout_rate=dropout_rate, nk=nk,
+                               precision=precision)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
+            pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, d), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * n * n * d * 2 // 2, transcendentals=bh * n * n // 2,
+            bytes_accessed=4 * bh * n * d * 4,
+        ),
+        interpret=interpret,
+    )(seed, q, k, v)
+    return o, lse
+
+
+def _flash_bwd(q, k, v, do, o, lse, seed, dropout_rate: float, block: int,
+               precision, interpret: bool = False):
+    bh, n, d = q.shape
+    tq = tk = _pick_block(n, block)
+    nq, nk = n // tq, n // tk
+    sm_scale = 1.0 / math.sqrt(d)
+    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                   keepdims=True)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate, nk=nk,
+                          precision=precision),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        interpret=interpret,
+    )(seed, q, k, v, do, lse, dsum)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate, nq=nq,
+                          precision=precision),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, tq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v, do, lse, dsum)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_bhnd(q, k, v, seed, dropout_rate: float, block: int,
+                          precision, interpret: bool = False):
+    o, _ = _flash_fwd(q, k, v, seed, dropout_rate, block, precision, interpret)
+    return o
+
+
+def _fa_fwd(q, k, v, seed, dropout_rate, block, precision, interpret):
+    o, lse = _flash_fwd(q, k, v, seed, dropout_rate, block, precision, interpret)
+    return o, (q, k, v, o, lse, seed)
+
+
+def _fa_bwd(dropout_rate, block, precision, interpret, res, g):
+    q, k, v, o, lse, seed = res
+    dq, dk, dv = _flash_bwd(q, k, v, g, o, lse, seed, dropout_rate, block,
+                            precision, interpret)
+    return dq, dk, dv, None
+
+
+_flash_attention_bhnd.defvjp(_fa_fwd, _fa_bwd)
+
+
+def causal_flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    block: int = 512,
+    precision=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Strictly-causal multi-head attention without the O(N²) HBM tensor.
+
+    Args:
+      q, k, v: ``(B, H, N, D)``.  Query ``i`` attends keys ``j < i`` — query
+        0 attends nothing and returns exactly zero (the reference's
+        ``start_mask`` semantics, ``pixelsnail.py:188-192``).
+      dropout_rate: dropout on the attention probabilities (reference
+        ``pixelsnail.py:205,226``); requires ``dropout_rng`` when > 0.
+      dropout_rng: PRNG key folded into the in-kernel counter-based draw.
+      block: q/k tile length (auto-shrunk to divide N).
+
+    Returns ``(B, H, N, D)`` in the dtype of ``q``.
+    """
+    b, h, n, d = q.shape
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.randint(dropout_rng, (1,), -2 ** 31, 2 ** 31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _flash_attention_bhnd(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d),
+        seed, float(dropout_rate), block, precision, interpret)
+    return out.reshape(b, h, n, d)
+
+
+def causal_attention_reference(q, k, v, *, dropout_rate: float = 0.0,
+                               dropout_rng: Optional[jax.Array] = None,
+                               precision=None):
+    """Full-matrix XLA fallback with identical semantics (CPU/GPU path and
+    the ground truth for kernel parity tests)."""
+    b, h, n, d = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision) / math.sqrt(d)
+    qi = jnp.arange(n)[:, None]
+    kj = jnp.arange(n)[None, :]
+    mask = (kj < qi)
+    s = jnp.where(mask[None, None], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    p = p * (qi > 0)[None, None].astype(p.dtype)  # row 0 attends nothing
+    if dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = p * keep / (1.0 - dropout_rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                      precision=precision).astype(q.dtype)

@@ -102,7 +102,9 @@ def train(args):
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), {"loss": loss, "acc": acc}
 
-    rng = jax.random.PRNGKey(args.seed + 1)
+    # hardware-RNG dropout stream (see train/pixelsnail.py) — threefry bit
+    # generation dominates VPU time for per-resblock dropout otherwise
+    rng = jax.random.key(args.seed + 1, impl="unsafe_rbg")
     order_rng = np.random.default_rng(args.seed)
     n_done, m, t0 = 0, {}, time.perf_counter()
     while n_done < total_steps:
