@@ -47,8 +47,8 @@ def bench_tpu():
     def encode_n(variables, x):
         def body(i, carry):
             acc, eps = carry
-            _, _, _, id_t, id_b = model.apply(variables, x + eps,
-                                              method=model.encode)
+            id_t, id_b = model.apply(variables, x + eps,
+                                     method=model.encode_ids)
             s = id_t.sum() + id_b.sum()
             return acc + s, (s % 3).astype(jnp.float32) * 1e-12
 

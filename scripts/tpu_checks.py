@@ -157,8 +157,8 @@ def check_bench():
         def encode_n(v, x):
             def body(i, carry):
                 acc, eps = carry
-                _, _, _, id_t, id_b = model.apply(v, x + eps,
-                                                  method=model.encode)
+                id_t, id_b = model.apply(v, x + eps,
+                                         method=model.encode_ids)
                 s = id_t.sum() + id_b.sum()
                 return acc + s, (s % 3).astype(jnp.float32) * 1e-12
 

@@ -49,6 +49,18 @@ def test_vqvae_forward_shapes(small_vqvae):
     assert id_b.shape == (2, 16, 16)
 
 
+def test_encode_ids_matches_encode(small_vqvae):
+    """The indices-only extraction path must produce exactly the ids of the
+    full encode (it skips only the unused quantized/stat outputs)."""
+    model, variables = small_vqvae
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    _, _, _, id_t, id_b = model.apply(variables, x, method=model.encode)
+    id_t2, id_b2 = model.apply(variables, x, method=model.encode_ids)
+    assert np.array_equal(np.asarray(id_t), np.asarray(id_t2))
+    assert np.array_equal(np.asarray(id_b), np.asarray(id_b2))
+
+
 def test_decode_code_roundtrip(small_vqvae):
     """decode(quant) == decode_code(ids) — codes are a lossless latent record
     (the reference's extract_code.py→sample.py bridge relies on this)."""

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vqvae2_tpu.ops.quantize import nearest_code, quantize_lookup
+from vqvae2_tpu.ops.quantize import (nearest_code, nearest_code_ids,
+                                     quantize_lookup)
 
 Dtype = Any
 
@@ -129,6 +130,14 @@ class Quantize(nn.Module):
     def embed_code(self, indices: jax.Array) -> jax.Array:
         """Codebook lookup (reference ``embed_code``, ``vqvae.py:77-78``)."""
         return quantize_lookup(indices, self.get_variable("vq_stats", "embed"))
+
+    def codes(self, x: jax.Array) -> jax.Array:
+        """Indices-only quantization (same argmin as ``__call__``): skips the
+        quantized-vector lookup and EMA stat outputs for callers that consume
+        only the integer codes (code extraction, the headline bench)."""
+        flat = x.reshape(-1, self.dim)
+        idx = nearest_code_ids(flat, self.get_variable("vq_stats", "embed"))
+        return idx.reshape(x.shape[:-1])
 
 
 class ResBlock(nn.Module):
@@ -292,6 +301,30 @@ class VQVAE(nn.Module):
         quant_b, diff_b, id_b = self.quantize_b(qb_in, train=train)
 
         return quant_t, quant_b, diff_t + diff_b, id_t, id_b
+
+    def encode_ids(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Code-extraction fast path: ``(id_t, id_b)`` only.
+
+        Identical argmins to :meth:`encode` (the top branch still quantizes
+        fully — ``dec_t`` consumes ``quant_t``), but the bottom grid, which
+        has 4× the rows, runs the indices-only kernel: a Pallas custom call's
+        outputs cannot be dead-code-eliminated, so the full :meth:`encode`
+        always pays the bottom lookup matmul even when only ids are used
+        (reference ``extract_code.py:14-33`` stores only ids)."""
+        h, w = x.shape[1:3]
+        if h % 8 or w % 8:
+            raise ValueError(
+                f"VQVAE needs image H and W divisible by 8, got {(h, w)}; "
+                f"pad or resize the input")
+        enc_b = self.enc_b(x)
+        enc_t = self.enc_t(enc_b)
+        qt_in = self.quantize_conv_t(enc_t)
+        quant_t, _, id_t = self.quantize_t(qt_in, train=False)
+        dec_t = self.dec_t(quant_t)
+        enc_b = jnp.concatenate([dec_t, enc_b], axis=-1)
+        qb_in = self.quantize_conv_b(enc_b)
+        id_b = self.quantize_b.codes(qb_in)
+        return id_t, id_b
 
     def decode(self, quant_t: jax.Array, quant_b: jax.Array) -> jax.Array:
         """Reference ``decode`` (``vqvae.py:242-249``)."""

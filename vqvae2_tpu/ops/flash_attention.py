@@ -336,7 +336,7 @@ def causal_flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, *,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    block: int = 512,
+    block: int = 1024,
     precision=None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -349,7 +349,8 @@ def causal_flash_attention(
       dropout_rate: dropout on the attention probabilities (reference
         ``pixelsnail.py:205,226``); requires ``dropout_rng`` when > 0.
       dropout_rng: PRNG key folded into the in-kernel counter-based draw.
-      block: q/k tile length (auto-shrunk to divide N).
+      block: q/k tile length (auto-shrunk to divide N; 1024 measured
+        fastest at both the 32x32 and 64x64 grids on v5e).
 
     Returns ``(B, H, N, D)`` in the dtype of ``q``.
     """

@@ -132,6 +132,23 @@ def _quantize_kernel_nostats(x_ref, embed_ref, idx_ref, q_ref):
     q_ref[:] = _exact_onehot_dot(onehot_b, embed).astype(q_ref.dtype)
 
 
+def _quantize_kernel_ids(x_ref, embed_ref, idx_ref):
+    """Code-extraction flavor: indices only.  A custom call's outputs cannot
+    be dead-code-eliminated by XLA, so when the caller consumes only the ids
+    (extract_codes, the headline bench) this skips the 3-pass exact lookup
+    matmul entirely (~1/3 of kernel MXU passes)."""
+    x = x_ref[:].astype(jnp.float32)
+    embed = embed_ref[:].astype(jnp.float32)
+    score = 2.0 * jax.lax.dot_general(
+        x, embed, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    score = (score - jnp.sum(x * x, axis=1)[:, None]
+             - jnp.sum(embed * embed, axis=1)[None, :])
+    idx_ref[:] = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]
+
+
 def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
     step = pl.program_id(0)
 
@@ -209,6 +226,48 @@ def _nearest_code_pallas_nostats(flat: jax.Array, embed: jax.Array,
         ),
     )(flat, embed)
     return idx[:n, 0], q[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _nearest_code_pallas_ids(flat: jax.Array, embed: jax.Array,
+                             block_n: int = 2048):
+    n, d = flat.shape
+    k = embed.shape[0]
+    n_pad = _round_up(max(n, 8), block_n)
+    if n_pad != n:
+        flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+    grid = (n_pad // block_n,)
+    idx = pl.pallas_call(
+        _quantize_kernel_ids,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * k * d,
+            bytes_accessed=(n_pad * d + k * d) * 4 + n_pad * 4,
+            transcendentals=0,
+        ),
+    )(flat, embed)
+    return idx[:n, 0]
+
+
+def nearest_code_ids(flat: jax.Array, embed: jax.Array,
+                     block_n: int = 2048) -> jax.Array:
+    """Indices-only nearest-code search (same argmin as :func:`nearest_code`;
+    skips quantized-vector and stat outputs for the extract/bench path)."""
+    if flat.ndim != 2 or embed.ndim != 2 or flat.shape[1] != embed.shape[1]:
+        raise ValueError(f"bad shapes {flat.shape} vs {embed.shape}")
+    if jax.default_backend() == "tpu":
+        n = flat.shape[0]
+        eff_block = block_n if n >= block_n else _round_up(max(n, 8), 8)
+        return jax.lax.stop_gradient(
+            _nearest_code_pallas_ids(flat, embed, eff_block))
+    return nearest_code_reference(flat, embed)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))

@@ -31,8 +31,9 @@ def extract(model: VQVAE, variables, dataset, out_path: str,
 
     @jax.jit
     def encode(variables, x):
-        _, _, _, id_t, id_b = model.apply(variables, x, method=model.encode)
-        return id_t, id_b
+        # ids-only path: skips the bottom-grid lookup matmul and stat
+        # outputs the store never consumes
+        return model.apply(variables, x, method=model.encode_ids)
 
     top_shape = (size // 8, size // 8)
     bot_shape = (size // 4, size // 4)

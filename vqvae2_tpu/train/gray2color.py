@@ -136,7 +136,9 @@ def train(args):
                      opt_state=tx.init(variables["params"]))
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx)
-    rng = jax.random.PRNGKey(args.seed + 2)
+    # hardware-RNG dropout stream (threefry bit generation is VPU-bound;
+    # see train/pixelsnail.py)
+    rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
     host_rng = np.random.default_rng(args.seed)
 
     n_done, m = 0, {}

@@ -269,7 +269,8 @@ def train(args):
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx, args.num_pos, args.batch_size, img_hw)
     viz_fn = make_part_viz_fn(model) if args.sample_dir else None
-    rng = jax.random.PRNGKey(args.seed + 1)
+    # hardware-RNG dropout stream (see train/pixelsnail.py)
+    rng = jax.random.key(args.seed + 1, impl="unsafe_rbg")
 
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
     n_done, t0, m = 0, time.perf_counter(), {}

@@ -315,7 +315,9 @@ def train(args):
     step_fn = make_train_step(model, tx_reid, tx_gen, args.num_pos)
     sample_fn = (make_sample_fn(model, args.num_pos)
                  if args.sample_dir else None)
-    rng = jax.random.PRNGKey(args.seed + 2)
+    # hardware-RNG dropout stream (threefry bit generation is VPU-bound;
+    # see train/pixelsnail.py)
+    rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
 
     n_done, t0, m = 0, time.perf_counter(), {}
     epoch = 0

@@ -313,7 +313,9 @@ def train(args):
                     opt_gen=tx_gen.init(gen_params))
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx_reid, tx_gen, args.num_pos)
-    rng = jax.random.PRNGKey(args.seed + 2)
+    # hardware-RNG dropout stream (threefry bit generation is VPU-bound;
+    # see train/pixelsnail.py)
+    rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
     host_rng = np.random.default_rng(args.seed)
 
     n_done, m, t0 = 0, {}, time.perf_counter()

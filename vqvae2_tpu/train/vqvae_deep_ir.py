@@ -292,7 +292,9 @@ def train(args):
     full_step = make_full_step(model, tx_reid, tx_gen, args.num_pos)
     sample_fn = (make_sample_fn(model, pool_dim(args.arch))
                  if args.sample_dir else None)
-    rng = jax.random.PRNGKey(args.seed + 2)
+    # hardware-RNG dropout stream (threefry bit generation is VPU-bound;
+    # see train/pixelsnail.py)
+    rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
     host_rng = np.random.default_rng(args.seed)
 
     stage_steps = (args.stage_reconstruction
