@@ -97,6 +97,39 @@ def test_reference_dropout_statistics():
     assert float(rel) < 0.25  # ~1/sqrt(48) sampling noise
 
 
+def test_flash_spmd_batch_sharding():
+    """Under a sharded mesh the kernel must partition over batch·head via its
+    custom_partitioning rule — not silently all-gather (a custom call is
+    opaque to GSPMD without it)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    rng = np.random.default_rng(8)
+    q, k, v = _qkv(rng, 8, 2, 128, 16)
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+
+    f = jax.jit(lambda q, k, v: causal_flash_attention(q, k, v, block=64,
+                                                       interpret=True))
+    out = f(qs, ks, vs)
+    ref = causal_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    assert out.sharding.spec[0] == "data"
+    assert "all-gather" not in f.lower(qs, ks, vs).compile().as_text()
+
+    g = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(causal_flash_attention(
+            q, k, v, block=64, interpret=True))), argnums=(0, 1, 2)))
+    gs = g(qs, ks, vs)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(causal_attention_reference(q, k, v))),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_module_uses_kernel_semantics():
     """CausalAttention module output is invariant to future-pixel changes
     regardless of backend path."""

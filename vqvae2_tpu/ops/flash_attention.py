@@ -310,22 +310,93 @@ def _flash_bwd(q, k, v, do, o, lse, seed, dropout_rate: float, block: int,
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning: a Pallas kernel is a custom call, which GSPMD cannot
+# partition on its own — under a sharded mesh it would force replication
+# (all-gathering the global batch onto every chip).  custom_partitioning
+# declares the batch·head dim shardable; everything else is forced
+# replicated (the causal structure spans the whole sequence, so sharding N
+# would be wrong).  Per-shard dropout seeds reuse local tile indices — masks
+# repeat across batch shards, which is statistically harmless and keeps
+# fwd/bwd bit-consistent shard-by-shard.
+# ---------------------------------------------------------------------------
+
+def _batch_sharding(mesh, sharding, ndim):
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = getattr(sharding, "spec", PartitionSpec())
+    b = spec[0] if len(spec) else None
+    return NamedSharding(mesh, PartitionSpec(b, *([None] * (ndim - 1))))
+
+
+def _replicated(mesh, ndim):
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(mesh, PartitionSpec(*([None] * ndim)))
+
+
+def _make_spmd(n_batch_args: int, n_results: int, n_static: int, fn,
+               rule: str):
+    """Wrap a (batch-leading arrays..., seed, *static) launcher so jit can
+    shard the leading dim across the mesh and run the kernel per-shard."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    wrapped = custom_partitioning(
+        fn, static_argnums=tuple(range(n_batch_args + 1,
+                                       n_batch_args + 1 + n_static)))
+
+    def infer(*top_args):
+        mesh, arg_shapes = top_args[-3], top_args[-2]
+        out = _batch_sharding(mesh, arg_shapes[0].sharding, 3)
+        return (out,) * n_results if n_results > 1 else out
+
+    def partition(*top_args):
+        mesh, arg_shapes, result_shape = top_args[-3:]
+        static = top_args[:-3]
+        b_shard = _batch_sharding(mesh, arg_shapes[0].sharding, 3)
+        arg_shardings = tuple([b_shard] * n_batch_args + [_replicated(mesh, 1)])
+        if n_results > 1:
+            result_shardings = (b_shard,) * n_results
+        else:
+            result_shardings = b_shard
+
+        def lower_fn(*args):
+            return fn(*args, *static)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        decode_shardings=True,
+    )
+    return wrapped
+
+
+_flash_fwd_spmd = _make_spmd(
+    3, 2, 4, _flash_fwd, "b n d, b n d, b n d, s -> b n d, b n u")
+_flash_bwd_spmd = _make_spmd(
+    6, 3, 4, _flash_bwd,
+    "b n d, b n d, b n d, b n d, b n d, b n u, s -> b n d, b n d, b n d")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention_bhnd(q, k, v, seed, dropout_rate: float, block: int,
                           precision, interpret: bool = False):
-    o, _ = _flash_fwd(q, k, v, seed, dropout_rate, block, precision, interpret)
+    o, _ = _flash_fwd_spmd(q, k, v, seed, dropout_rate, block, precision,
+                           interpret)
     return o
 
 
 def _fa_fwd(q, k, v, seed, dropout_rate, block, precision, interpret):
-    o, lse = _flash_fwd(q, k, v, seed, dropout_rate, block, precision, interpret)
+    o, lse = _flash_fwd_spmd(q, k, v, seed, dropout_rate, block, precision,
+                             interpret)
     return o, (q, k, v, o, lse, seed)
 
 
 def _fa_bwd(dropout_rate, block, precision, interpret, res, g):
     q, k, v, o, lse, seed = res
-    dq, dk, dv = _flash_bwd(q, k, v, g, o, lse, seed, dropout_rate, block,
-                            precision, interpret)
+    dq, dk, dv = _flash_bwd_spmd(q, k, v, g, o, lse, seed, dropout_rate, block,
+                                 precision, interpret)
     return dq, dk, dv, None
 
 
