@@ -141,3 +141,35 @@ def test_nearest_code_pallas_interpret_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(q), np.asarray(rq), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(csum), np.asarray(rcsum), atol=1e-3)
     np.testing.assert_allclose(np.asarray(esum), np.asarray(resum), rtol=1e-4, atol=1e-4)
+
+
+def test_nearest_code_spmd_row_sharding(rng):
+    """Under a sharded mesh the quantizer kernel must row-partition and
+    psum its EMA stats (custom_partitioning — a custom call is otherwise
+    opaque to GSPMD and would all-gather the global rows)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from vqvae2_tpu.ops import quantize as qz
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    flat = jnp.asarray(rng.normal(size=(1024, 64)).astype(np.float32))
+    embed = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+    fs = jax.device_put(flat, NamedSharding(mesh, P("data", None)))
+    es = jax.device_put(embed, NamedSharding(mesh, P(None, None)))
+
+    f = jax.jit(lambda f_, e_: qz._nearest_code_pallas_spmd(f_, e_, 128, True))
+    idx, q, csum, esum = f(fs, es)
+    ridx, rq, rcsum, resum = nearest_code_reference(flat, embed)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_array_equal(
+        np.asarray(q), np.asarray(jnp.take(embed, idx, axis=0)))
+    np.testing.assert_allclose(np.asarray(csum), np.asarray(rcsum), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(esum), np.asarray(resum),
+                               rtol=1e-4, atol=1e-4)
+    assert idx.sharding.spec[0] == "data"          # rows stayed sharded
+    txt = f.lower(fs, es).compile().as_text()
+    assert "all-gather" not in txt                 # no forced replication
+    assert "all-reduce" in txt                     # stats psum present
+
+    ids = jax.jit(lambda f_, e_: qz._nearest_code_pallas_ids_spmd(
+        f_, e_, 128, True))(fs, es)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ridx))

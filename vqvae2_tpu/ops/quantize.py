@@ -17,10 +17,10 @@ Here one Pallas kernel streams tiles of ``x`` through VMEM and fuses, per tile:
    VMEM — TPU grids run sequentially, so accumulation into a
    constant-index output block is race-free.
 
-Nothing of size ``(N, K)`` ever touches HBM.  The cross-device reduction of the
-EMA stats (reference ``dist_fn.all_reduce``, ``vqvae.py:58-59``) is NOT done
-here: under GSPMD the caller's batch sharding makes XLA insert the all-reduce
-when the stats are consumed; under shard_map the model layer psums them.
+Nothing of size ``(N, K)`` ever touches HBM.  Under GSPMD the launchers carry
+a ``custom_partitioning`` rule (rows shard across the mesh; the EMA stats are
+psum'd inside the per-shard lowering — the reference's ``dist_fn.all_reduce``,
+``vqvae.py:58-59``); under shard_map the model layer psums them instead.
 """
 
 from __future__ import annotations
@@ -195,9 +195,10 @@ def _quantize_kernel(x_ref, embed_ref, idx_ref, q_ref, csum_ref, esum_ref):
         onehot_b, x, dims=(((0,), (0,)), ((), ())))
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
 def _nearest_code_pallas_nostats(flat: jax.Array, embed: jax.Array,
-                                 block_n: int = 2048):
+                                 block_n: int = 2048,
+                                 interpret: bool = False):
     n, d = flat.shape
     k = embed.shape[0]
     n_pad = _round_up(max(n, 8), block_n)
@@ -224,13 +225,14 @@ def _nearest_code_pallas_nostats(flat: jax.Array, embed: jax.Array,
             bytes_accessed=(n_pad * d + k * d) * 4 + n_pad * (4 + d * 4),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(flat, embed)
     return idx[:n, 0], q[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
 def _nearest_code_pallas_ids(flat: jax.Array, embed: jax.Array,
-                             block_n: int = 2048):
+                             block_n: int = 2048, interpret: bool = False):
     n, d = flat.shape
     k = embed.shape[0]
     n_pad = _round_up(max(n, 8), block_n)
@@ -252,6 +254,7 @@ def _nearest_code_pallas_ids(flat: jax.Array, embed: jax.Array,
             bytes_accessed=(n_pad * d + k * d) * 4 + n_pad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(flat, embed)
     return idx[:n, 0]
 
@@ -266,12 +269,13 @@ def nearest_code_ids(flat: jax.Array, embed: jax.Array,
         n = flat.shape[0]
         eff_block = block_n if n >= block_n else _round_up(max(n, 8), 8)
         return jax.lax.stop_gradient(
-            _nearest_code_pallas_ids(flat, embed, eff_block))
+            _nearest_code_pallas_ids_spmd(flat, embed, eff_block, False))
     return nearest_code_reference(flat, embed)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 2048):
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 2048,
+                         interpret: bool = False):
     n, d = flat.shape
     k = embed.shape[0]
 
@@ -307,6 +311,7 @@ def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 2048)
             bytes_accessed=(n_pad * d + k * d) * 4 + n_pad * (4 + d * 4),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(flat, embed)
 
     if n_pad != n:
@@ -321,6 +326,82 @@ def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 2048)
     return idx[:, 0], q, csum[0], esum
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning: the Pallas launchers are custom calls, opaque to GSPMD —
+# without a partitioning rule a data-parallel mesh would all-gather the full
+# global row set onto every chip.  Rows (dim 0 of ``flat``) are embarrassingly
+# parallel for the search/lookup outputs; the EMA sufficient statistics are
+# row reductions, so the per-shard partials are psum'd inside the per-shard
+# lowering (the moral equivalent of the reference's ``dist_fn.all_reduce``,
+# ``vqvae.py:58-59``).  The codebook is forced replicated (512×64 — an
+# all-gather of it is nothing next to sharding the rows).
+# ---------------------------------------------------------------------------
+
+def _spmd_rows(fn, rule: str, n_stats: int):
+    """Wrap launcher ``fn(flat, embed, block_n)`` for GSPMD: shard rows,
+    replicate embed; psum the trailing ``n_stats`` outputs across the row
+    shards."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    wrapped = custom_partitioning(fn, static_argnums=(2, 3))
+
+    def _row_axis(sharding):
+        spec = getattr(sharding, "spec", PartitionSpec())
+        return spec[0] if len(spec) else None
+
+    def _shardings(mesh, axis, result_shape):
+        row = lambda nd: NamedSharding(
+            mesh, PartitionSpec(axis, *([None] * (nd - 1))))
+        rep = lambda nd: NamedSharding(mesh, PartitionSpec(*([None] * nd)))
+        results = jax.tree.leaves(result_shape)
+        out = []
+        for i, r in enumerate(results):
+            sharded = i < len(results) - n_stats
+            out.append(row(r.ndim) if sharded else rep(r.ndim))
+        return tuple(out) if len(out) > 1 else out[0]
+
+    def infer(block_n, interpret, mesh, arg_shapes, result_shape):
+        return _shardings(mesh, _row_axis(arg_shapes[0].sharding),
+                          result_shape)
+
+    def partition(block_n, interpret, mesh, arg_shapes, result_shape):
+        axis = _row_axis(arg_shapes[0].sharding)
+        arg_shardings = (
+            NamedSharding(mesh, PartitionSpec(axis, None)),
+            NamedSharding(mesh, PartitionSpec(None, None)),
+        )
+        result_shardings = _shardings(mesh, axis, result_shape)
+
+        def lower_fn(flat, embed):
+            out = fn(flat, embed, block_n, interpret)
+            if n_stats and axis is not None:
+                out = (*out[:-n_stats],
+                       *(jax.lax.psum(s, axis) for s in out[-n_stats:]))
+            return out
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    wrapped.def_partition(partition=partition,
+                          infer_sharding_from_operands=infer,
+                          sharding_rule=rule, decode_shardings=True)
+    return wrapped
+
+
+_nearest_code_pallas_spmd = _spmd_rows(
+    lambda flat, embed, block_n, interpret=False: _nearest_code_pallas(
+        flat, embed, block_n, interpret),
+    "n d, k d -> n, n d, k, k d", n_stats=2)
+_nearest_code_pallas_nostats_spmd = _spmd_rows(
+    lambda flat, embed, block_n, interpret=False: _nearest_code_pallas_nostats(
+        flat, embed, block_n, interpret),
+    "n d, k d -> n, n d", n_stats=0)
+_nearest_code_pallas_ids_spmd = _spmd_rows(
+    lambda flat, embed, block_n, interpret=False: _nearest_code_pallas_ids(
+        flat, embed, block_n, interpret),
+    "n d, k d -> n", n_stats=0)
+
+
 # The kernel is not differentiable (and must not be traced by JVP — argmin
 # and EMA stats are piecewise-constant).  Gradients are defined as zero at the
 # op boundary; callers implement the straight-through estimator explicitly
@@ -328,11 +409,11 @@ def _nearest_code_pallas(flat: jax.Array, embed: jax.Array, block_n: int = 2048)
 # around the quantizer (vqvae.py:72-73).
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _nearest_code_pallas_nograd(flat, embed, block_n: int = 2048):
-    return _nearest_code_pallas(flat, embed, block_n)
+    return _nearest_code_pallas_spmd(flat, embed, block_n, False)
 
 
 def _ncp_fwd(flat, embed, block_n):
-    return _nearest_code_pallas(flat, embed, block_n), (flat, embed)
+    return _nearest_code_pallas_spmd(flat, embed, block_n, False), (flat, embed)
 
 
 def _ncp_bwd(block_n, res, g):
@@ -345,11 +426,11 @@ _nearest_code_pallas_nograd.defvjp(_ncp_fwd, _ncp_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _nearest_code_pallas_nostats_nograd(flat, embed, block_n: int = 2048):
-    return _nearest_code_pallas_nostats(flat, embed, block_n)
+    return _nearest_code_pallas_nostats_spmd(flat, embed, block_n, False)
 
 
 def _ncpn_fwd(flat, embed, block_n):
-    return _nearest_code_pallas_nostats(flat, embed, block_n), (flat, embed)
+    return _nearest_code_pallas_nostats_spmd(flat, embed, block_n, False), (flat, embed)
 
 
 def _ncpn_bwd(block_n, res, g):
