@@ -141,6 +141,69 @@ def _use_pallas() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# SPMD partitioning: the Pallas launchers are custom calls, opaque to GSPMD —
+# without a rule a sharded mesh would all-gather the global activations at
+# every ABN. The row dim is embarrassingly parallel (moments/grad-sums are
+# computed and psum'd *outside*, in partitionable XLA), so rows shard and the
+# per-channel vectors replicate.
+# ---------------------------------------------------------------------------
+
+def _spmd_rowwise(fn, n_rows: int, n_vecs: int, n_static: int, rule: str):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_arrays = n_rows + n_vecs
+    wrapped = custom_partitioning(
+        fn, static_argnums=tuple(range(n_arrays, n_arrays + n_static)))
+
+    def _row_axis(sharding):
+        spec = getattr(sharding, "spec", PartitionSpec())
+        return spec[0] if len(spec) else None
+
+    def infer(*args):
+        mesh, arg_shapes = args[-3], args[-2]
+        axis = _row_axis(arg_shapes[0].sharding)
+        return NamedSharding(mesh, PartitionSpec(axis, None))
+
+    def partition(*args):
+        mesh, arg_shapes, result_shape = args[-3:]
+        static = args[:-3]
+        axis = _row_axis(arg_shapes[0].sharding)
+        row = NamedSharding(mesh, PartitionSpec(axis, None))
+        vec = NamedSharding(mesh, PartitionSpec(None))
+        arg_shardings = (row,) * n_rows + (vec,) * n_vecs
+
+        def lower_fn(*arrays):
+            return fn(*arrays, *static)
+
+        return mesh, lower_fn, row, arg_shardings
+
+    wrapped.def_partition(partition=partition,
+                          infer_sharding_from_operands=infer,
+                          sharding_rule=rule, decode_shardings=True)
+    return wrapped
+
+
+def _abn_fwd_launch(x2d, mean, rstd_w, b, activation, slope, out_dtype):
+    return _pallas_elementwise(
+        functools.partial(_fwd_kernel, activation=activation, slope=slope),
+        out_dtype, x2d, mean, rstd_w, b)
+
+
+def _abn_bwd_launch(z2d, dz2d, binv, winv, mul, edzn, eydzn, activation, slope):
+    return _pallas_bwd(z2d, dz2d, binv, winv, mul, edzn, eydzn,
+                       activation=activation, slope=slope)
+
+
+_abn_fwd_spmd = _spmd_rowwise(
+    _abn_fwd_launch, n_rows=1, n_vecs=3, n_static=3,
+    rule="m c, c, c, c -> m c")
+_abn_bwd_spmd = _spmd_rowwise(
+    _abn_bwd_launch, n_rows=2, n_vecs=5, n_static=2,
+    rule="m c, m c, c, c, c, c, c -> m c")
+
+
+# ---------------------------------------------------------------------------
 # The op: custom_vjp over (x, weight, bias) with explicit batch moments
 # ---------------------------------------------------------------------------
 
@@ -172,9 +235,8 @@ def _abn_fwd_impl(x, weight, bias, mean, var, eps, activation, slope):
     mean = mean.astype(f32)
     x2d = x.reshape(-1, c)
     if _use_pallas():
-        z2d = _pallas_elementwise(
-            functools.partial(_fwd_kernel, activation=activation, slope=slope),
-            x.dtype, x2d, mean, rstd * w_t, b_t)
+        z2d = _abn_fwd_spmd(x2d, mean, rstd * w_t, b_t,
+                            activation, slope, x.dtype)
     else:
         y = (x2d - mean[None, :]) * (rstd * w_t)[None, :] + b_t[None, :]
         z2d = _act_fwd(y, activation, slope).astype(x.dtype)
@@ -224,8 +286,8 @@ def _abn_vjp_bwd(eps, activation, slope, axis_name, training, res, dz):
     eydzn = eydz * inv_count
 
     if _use_pallas():
-        dx2d = _pallas_bwd(z2d, dz2d, b_t, 1.0 / w_t, mul, edzn, eydzn,
-                           activation=activation, slope=slope)
+        dx2d = _abn_bwd_spmd(z2d, dz2d, b_t, 1.0 / w_t, mul, edzn, eydzn,
+                             activation, slope)
     else:
         dx2d = ((dy2d - edzn[None, :] - yhat * eydzn[None, :])
                 * mul[None, :]).astype(z.dtype)
