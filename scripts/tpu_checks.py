@@ -171,16 +171,21 @@ def check_bench():
 
     def timed(fn):
         int(fn(v, x))  # compile + warm
-        t0 = time.perf_counter()
-        int(fn(v, x))
-        return time.perf_counter() - t0
+        best = np.inf  # best-of-3: 1st post-compile exec pays a one-off
+        for _ in range(3):  # program/argument-upload cost through the tunnel
+            t0 = time.perf_counter()
+            int(fn(v, x))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    dt10, dt20 = timed(make_encode_n(10)), timed(make_encode_n(20))
-    ratio = dt20 / dt10
-    assert 1.6 < ratio < 2.4, (
+    # 60/120 iterations: long enough that the fixed ~36 ms tunneled
+    # dispatch+fetch cost stays <5% and the 2x ratio is clean
+    dt60, dt120 = timed(make_encode_n(60)), timed(make_encode_n(120))
+    ratio = dt120 / dt60
+    assert 1.7 < ratio < 2.3, (
         f"timing loop not scaling with n_iter (ratio {ratio:.2f}) — "
         f"LICM is hoisting the encode again")
-    ips = 64 * 20 / dt20
+    ips = 64 * 120 / dt120
     assert ips > 1000, f"throughput collapsed: {ips}"
     return f"{ips:,.0f} img/s/chip (2x-iter ratio {ratio:.2f})"
 
@@ -205,7 +210,12 @@ def check_train_step(fast: bool = False):
         tx = optax.adam(3e-4)
         state = create_state(model, tx, jax.random.PRNGKey(0),
                              (1, 256, 256, 3))
-        step = make_train_step(model, tx)
+        # Scan over the RAW step body (`.__wrapped__` strips the jit): nesting
+        # the donated jit inside a scan forces an un-inlined child call whose
+        # buffers cannot alias the scan carry — measured 10x slower than the
+        # same math inlined (85 vs 7.7 ms/iter at fp32 b8). Real training
+        # calls the donated jit per-batch at top level, where donation works.
+        step = make_train_step(model, tx).__wrapped__
 
         # scan threads state through the body — a true sequential dependence
         # (params/opt/EMA change every iteration), so LICM cannot hoist it
@@ -217,15 +227,20 @@ def check_train_step(fast: bool = False):
             return jax.lax.scan(body, state, None, length=n_steps)
 
         # scalar fetch forces completion — block_until_ready alone is
-        # unreliable through the tunnel (see CLAUDE.md)
-        st2, losses = run(state, x)   # compile + warm
+        # unreliable through the tunnel (see CLAUDE.md).  Time best-of-3:
+        # the first post-compile execution carries a one-off ~70 ms
+        # program/argument-upload cost through the tunnel (measured: 2nd
+        # execution 84 ms/iter, 3rd+ 7.7 ms/iter at fp32 b8).
+        st, losses = run(state, x)    # compile + warm
         float(jnp.sum(losses))
-        t0 = time.perf_counter()
-        st3, losses = run(st2, x)
-        last = float(losses[-1])
-        dt = time.perf_counter() - t0
+        best, last = np.inf, np.nan
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st, losses = run(st, x)
+            last = float(losses[-1])
+            best = min(best, time.perf_counter() - t0)
         assert np.isfinite(last), f"{name} loss {last}"
-        results.append(f"{name} {batch * n_steps / dt:,.0f} img/s")
+        results.append(f"{name} {batch * n_steps / best:,.0f} img/s")
     return f"b{batch}: " + ", ".join(results)
 
 
