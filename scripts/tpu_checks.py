@@ -232,7 +232,7 @@ def check_train_step(fast: bool = False):
         # program/argument-upload cost through the tunnel (measured: 2nd
         # execution 84 ms/iter, 3rd+ 7.7 ms/iter at fp32 b8).
         st, losses = run(state, x)    # compile + warm
-        float(jnp.sum(losses))
+        first = float(losses[0])
         best, last = np.inf, np.nan
         for _ in range(3):
             t0 = time.perf_counter()
@@ -240,8 +240,53 @@ def check_train_step(fast: bool = False):
             last = float(losses[-1])
             best = min(best, time.perf_counter() - t0)
         assert np.isfinite(last), f"{name} loss {last}"
-        results.append(f"{name} {batch * n_steps / best:,.0f} img/s")
+        # learning evidence, not just finiteness: 40 optimizer steps from
+        # init must reduce the loss (reference converges, README.md:38-44)
+        assert last < first, f"{name} loss rose: {first:.4f} -> {last:.4f}"
+        results.append(f"{name} {batch * n_steps / best:,.0f} img/s "
+                       f"(loss {first:.3f}->{last:.3f})")
     return f"b{batch}: " + ", ".join(results)
+
+
+@check("b32-equivalent train step via in-jit grad accumulation")
+def check_grad_accum(fast: bool = False):
+    if fast:
+        return "skipped (--fast)"
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.models.vqvae import VQVAE
+    from vqvae2_tpu.train.vqvae import create_state, make_train_step
+
+    accum, micro, n_steps = 4, 8, 5
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(accum, micro, 256, 256, 3))
+                    .astype(np.float32))
+    model = VQVAE()
+    tx = optax.adam(3e-4)
+    state = create_state(model, tx, jax.random.PRNGKey(0), (1, 256, 256, 3))
+    step = make_train_step(model, tx, grad_accum=accum).__wrapped__
+
+    @jax.jit
+    def run(state, x):
+        def body(s, _):
+            s, metrics = step(s, x)
+            return s, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    st, losses = run(state, x)
+    first = float(losses[0])
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, losses = run(st, x)
+        best = min(best, time.perf_counter() - t0)
+    last = float(losses[-1])
+    assert np.isfinite(last) and last < first, f"loss {first}->{last}"
+    ips = accum * micro * n_steps / best
+    return (f"global b{accum * micro} = {accum}x b{micro} microbatches: "
+            f"{ips:,.0f} img/s (loss {first:.3f}->{last:.3f})")
 
 
 @check("full-size incremental sampling rate")
@@ -265,6 +310,88 @@ def check_sampling_rate(fast: bool = False):
     return f"{rate:,.0f} steps/s (batch 8, [32,32]x512)"
 
 
+@check("bottom-conditional sampling rate (N=4096 + condition)")
+def check_bottom_sampling_rate(fast: bool = False):
+    """The expensive half of generation the reference runs at sample.py:92-95:
+    the [64,64] conditional attention-free prior, 4096 sequential steps."""
+    if fast:
+        return "skipped (--fast)"
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.models.incremental import sample_prior_incremental
+    from vqvae2_tpu.models.pixelsnail import PixelSNAIL
+
+    model = PixelSNAIL(shape=(64, 64), n_class=512, channel=256, kernel_size=5,
+                       n_block=4, n_res_block=4, res_channel=256,
+                       attention=False, dropout=0.1,
+                       n_cond_res_block=3, cond_res_channel=256)
+    cond = jnp.asarray(np.random.default_rng(0).integers(
+        0, 512, size=(8, 32, 32)).astype(np.int32))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64), jnp.int32),
+                   condition=cond[:1])
+    np.asarray(sample_prior_incremental(model, v, jax.random.PRNGKey(1), 8,
+                                        condition=cond))
+    t0 = time.perf_counter()
+    np.asarray(sample_prior_incremental(model, v, jax.random.PRNGKey(2), 8,
+                                        condition=cond))
+    rate = 4096 / (time.perf_counter() - t0)
+    assert rate > 50, f"bottom sampling rate collapsed: {rate}"
+    return f"{rate:,.0f} steps/s (batch 8, [64,64]x512 conditional)"
+
+
+@check("end-to-end generation wall time (top -> bottom -> decode -> PNG)")
+def check_e2e_generation(fast: bool = False):
+    """The full vq2-sample path at the reference config (sample.py:75-100),
+    batch 16, random-init weights (wall time is weight-independent)."""
+    if fast:
+        return "skipped (--fast)"
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.models.incremental import sample_prior_incremental
+    from vqvae2_tpu.models.pixelsnail import PixelSNAIL
+    from vqvae2_tpu.models.vqvae import VQVAE
+    from vqvae2_tpu.utils.image import save_image
+
+    batch = 16
+    top_model = PixelSNAIL(shape=(32, 32), n_class=512, channel=256,
+                           kernel_size=5, n_block=4, n_res_block=4,
+                           res_channel=256, dropout=0.1)
+    bot_model = PixelSNAIL(shape=(64, 64), n_class=512, channel=256,
+                           kernel_size=5, n_block=4, n_res_block=4,
+                           res_channel=256, attention=False, dropout=0.1,
+                           n_cond_res_block=3, cond_res_channel=256)
+    vqvae = VQVAE()
+    tv = top_model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32), jnp.int32))
+    bv = bot_model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 64, 64), jnp.int32),
+                        condition=jnp.zeros((1, 32, 32), jnp.int32))
+    vv = vqvae.init(jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3),
+                                                     jnp.float32))
+
+    def generate(seed):
+        r_top, r_bot = jax.random.split(jax.random.PRNGKey(seed))
+        top = sample_prior_incremental(top_model, tv, r_top, batch)
+        bottom = sample_prior_incremental(bot_model, bv, r_bot, batch,
+                                          condition=top)
+        decoded = vqvae.apply(vv, top, bottom, method=vqvae.decode_code)
+        return np.clip(np.asarray(decoded), -1, 1)
+
+    imgs = generate(0)  # compile + warm
+    t0 = time.perf_counter()
+    imgs = generate(1)
+    with tempfile.NamedTemporaryFile(suffix=".png") as f:
+        save_image(imgs, f.name, nrow=4)
+        dt = time.perf_counter() - t0
+    per_min = batch / dt * 60
+    assert per_min > 10, f"e2e generation collapsed: {per_min:.1f} img/min"
+    return f"batch {batch} in {dt:.1f}s = {per_min:,.0f} img/min (256px)"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--fast", action="store_true",
@@ -276,7 +403,8 @@ def main():
     print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
     checks = [check_quantize, check_flash_attention, check_abn,
               check_incremental, check_bench, check_train_step,
-              check_sampling_rate]
+              check_grad_accum, check_sampling_rate,
+              check_bottom_sampling_rate, check_e2e_generation]
     failed = 0
     for fn in checks:
         name = fn._check_name

@@ -130,6 +130,44 @@ def test_flash_spmd_batch_sharding():
                                    atol=5e-4, rtol=5e-4)
 
 
+def test_spmd_dropout_seed_is_shard_distinct():
+    """Batch shards must draw independent dropout streams: the per-shard
+    lowering folds the shard's mesh position into the seed.  The TPU core
+    PRNG has no interpreter, so this drives the fold through the real
+    _make_spmd machinery with a dummy kernel that reports the seed each
+    shard actually received."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vqvae2_tpu.ops.flash_attention import _make_spmd
+
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices), ("data",))
+
+    def report_seed(x, seed):
+        return jnp.zeros_like(x) + seed[0]
+
+    wrapped = _make_spmd(1, 1, 0, report_seed, "b n d, s -> b n d")
+    x = jnp.zeros((2 * len(devices), 8, 8), jnp.int32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    out = np.asarray(jax.jit(wrapped)(xs, jnp.array([42], jnp.int32)))
+
+    per_shard = out.reshape(len(devices), -1)
+    assert all(len(np.unique(row)) == 1 for row in per_shard)
+    seeds = per_shard[:, 0]
+    assert len(np.unique(seeds)) == len(devices), seeds
+    for i, s in enumerate(seeds):
+        exp = (42 + i * 0x632BE5AB) & 0xFFFFFFFF
+        exp = exp - 2 ** 32 if exp >= 2 ** 31 else exp
+        assert s == exp, (i, s, exp)
+
+
+def test_non_multiple_of_8_length_raises():
+    rng = np.random.default_rng(9)
+    q, k, v = _qkv(rng, 1, 1, 100, 16)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        causal_flash_attention(q, k, v, block=64, interpret=True)
+
+
 def test_module_uses_kernel_semantics():
     """CausalAttention module output is invariant to future-pixel changes
     regardless of backend path."""

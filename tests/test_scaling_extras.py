@@ -41,6 +41,77 @@ def test_fsdp_shard_consistency(devices, rng):
     assert any(not s.sharding.is_fully_replicated for s in sharded)
 
 
+def test_grad_accum_matches_sequential_reference(rng):
+    """grad_accum=K (in-jit scan of K microbatches, summed/averaged grads,
+    one optimizer update, EMA threaded through the carry) must match an
+    eager Python loop over the same microbatches doing exactly that."""
+    import optax
+
+    from vqvae2_tpu.train.vqvae import (LATENT_LOSS_WEIGHT, create_state,
+                                        make_train_step)
+
+    model = VQVAE(channel=16, n_res_block=1, n_res_channel=8, embed_dim=8,
+                  n_embed=16)
+    tx = optax.adam(1e-3)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+    xs = x.reshape(4, 2, 32, 32, 3)
+
+    # eager sequential reference
+    def loss_fn(params, vq_stats, xm):
+        (dec, diff), nv = model.apply(
+            {"params": params, "vq_stats": vq_stats}, xm,
+            train=True, mutable=["vq_stats"])
+        recon = jnp.mean(jnp.square(dec - xm))
+        return recon + LATENT_LOSS_WEIGHT * diff, nv["vq_stats"]
+
+    state = create_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    vq, losses = state.vq_stats, []
+    gsum = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    for m in range(4):
+        (loss, vq), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, vq, xs[m])
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        losses.append(float(loss))
+    grads = jax.tree_util.tree_map(lambda g: g / 4, gsum)
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+
+    state = create_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    acc_state, m_acc = make_train_step(model, tx, grad_accum=4)(state, xs)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), np.mean(losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(acc_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(vq),
+                    jax.tree_util.tree_leaves(acc_state.vq_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_advances_ema_per_microbatch(rng):
+    """With a live EMA (decay<1) the codebook stats must advance through the
+    scan carry — K microbatches move them further than one."""
+    import optax
+
+    from vqvae2_tpu.train.vqvae import create_state, make_train_step
+
+    model = VQVAE(channel=16, n_res_block=1, n_res_channel=8, embed_dim=8,
+                  n_embed=16, decay=0.5)
+    tx = optax.adam(1e-3)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+
+    state = create_state(model, tx, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    before = np.asarray(state.vq_stats["quantize_t"]["cluster_size"]).copy()
+    new_state, m = make_train_step(model, tx, grad_accum=2)(
+        state, x.reshape(2, 4, 32, 32, 3))
+    after = np.asarray(new_state.vq_stats["quantize_t"]["cluster_size"])
+    assert np.isfinite(float(m["loss"]))
+    assert not np.allclose(before, after)
+
+
 def test_quantize_perplexity_sown(rng):
     m = Quantize(dim=8, n_embed=16)
     x = jnp.asarray(rng.normal(size=(4, 4, 4, 8)), jnp.float32)

@@ -172,14 +172,19 @@ def test_lr_finder_records_and_suggests(tmp_path):
 
     from vqvae2_tpu.utils.schedules import LRFinder
 
-    finder = LRFinder(1e-4, 10.0, step_size=60)
-    # 1-D quadratic: loss = 0.5*w^2; SGD diverges once lr > 2 — the finder
-    # must see the descent region and the blow-up.
+    # 1-D quadratic: loss = 0.5*w^2; SGD diverges once lr > 2.  The lr range
+    # crosses 2 mid-sweep so the EMA-smoothed divergence test (one noisy raw
+    # step must NOT terminate the sweep — reference LRFinder smooths first)
+    # sees a blow-up that is real at the smoothed-loss scale.
+    finder = LRFinder(0.1, 10.0, step_size=30)
     w = jnp.asarray(5.0)
     tx = optax.sgd(finder.schedule)
     opt_state = tx.init(w)
     grad_fn = jax.value_and_grad(lambda w: 0.5 * w * w)
-    for _ in range(60):
+    # run past step_size (the schedule keeps growing) — the quadratic decays
+    # to ~1e-21 in the descent region, so the smoothed blow-up needs room to
+    # climb back through the smoothed-loss scale
+    for _ in range(45):
         loss, g = grad_fn(w)
         finder.record(loss)
         if finder.diverged:
@@ -190,7 +195,14 @@ def test_lr_finder_records_and_suggests(tmp_path):
     assert len(finder.lrs) == len(finder.losses) >= 3
     assert all(b > a for a, b in zip(finder.lrs, finder.lrs[1:]))  # monotone
     lr = finder.suggest()
-    assert 1e-4 <= lr <= 2.5, lr  # in the stable region, not the blow-up
+    assert 0.1 <= lr <= 2.5, lr  # in the stable region, not the blow-up
+
+    # a single noisy raw step in an otherwise-descending sweep must not trip
+    # the smoothed divergence test
+    noisy = LRFinder(0.1, 1.0, step_size=20)
+    for i, v in enumerate([1.0, 0.8, 0.6, 0.5, 2.5, 0.4, 0.35]):
+        noisy.record(v)
+        assert not noisy.diverged, f"noise spike at step {i} ended the sweep"
 
     out = tmp_path / "lrfind.csv"
     finder.save(str(out))

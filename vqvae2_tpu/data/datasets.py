@@ -97,7 +97,13 @@ def iterate_batches(
     numpy resize release the GIL) — the equivalence of the reference's
     ``DataLoader(num_workers=…)`` (``train_vqvae.py:199-201``,
     ``train_pixelsnail.py:94-96``); device dispatch is already async, so one
-    producer thread + a pool overlaps host decode with TPU compute."""
+    producer thread + a pool overlaps host decode with TPU compute.
+
+    ``workers`` > 0 requires ``dataset.__getitem__`` to be deterministic per
+    index (every dataset here is; ``ShapesDataset`` seeds per index).  A
+    dataset drawing augmentations from a *shared* RNG would see thread-order-
+    dependent draws — give such datasets a per-index ``SeedSequence`` (the
+    ``data/shapes.py`` pattern) or run them with ``workers=0``."""
 
     def producer(q: queue.Queue, pool):
         epoch = 0

@@ -41,11 +41,27 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _fmix32(h):
+    """murmur3 finalizer — a bijection on uint32."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> jnp.uint32(16))
+
+
 def _tile_seed(seed, bh, qb, kb):
-    """Deterministic per-tile PRNG seed (int32 wraparound arithmetic)."""
-    s = seed ^ (bh * jnp.int32(-1640531527))          # 0x9E3779B9
-    s = s ^ (qb * jnp.int32(40503) + jnp.int32(2654435))
-    return s ^ (kb * jnp.int32(69069) + jnp.int32(12345))
+    """Deterministic per-tile PRNG seed.
+
+    A chain of bijective mixes with XOR injections: two tiles of one launch
+    collide only if their (bh, qb, kb) coordinates are equal (a linear
+    combination of multiplied indices — the previous scheme — can alias
+    distinct tile pairs mod 2³²)."""
+    h = _fmix32(seed.astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9))
+    h = _fmix32(h ^ bh.astype(jnp.uint32))
+    h = _fmix32(h ^ qb.astype(jnp.uint32))
+    h = _fmix32(h ^ kb.astype(jnp.uint32))
+    return h.astype(jnp.int32)
 
 
 def _keep_mask(shape, rate: float):
@@ -209,6 +225,12 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 
 
 def _pick_block(n: int, want: int) -> int:
+    if n % 8:
+        # halving `want` below can bottom out at a tile that does not divide
+        # n, which would leave tail rows unwritten — refuse loudly instead.
+        raise ValueError(
+            f"causal flash attention requires the sequence length to be a "
+            f"multiple of 8, got N={n}")
     b = min(want, n)
     while n % b:
         b //= 2
@@ -316,9 +338,10 @@ def _flash_bwd(q, k, v, do, o, lse, seed, dropout_rate: float, block: int,
 # (all-gathering the global batch onto every chip).  custom_partitioning
 # declares the batch·head dim shardable; everything else is forced
 # replicated (the causal structure spans the whole sequence, so sharding N
-# would be wrong).  Per-shard dropout seeds reuse local tile indices — masks
-# repeat across batch shards, which is statistically harmless and keeps
-# fwd/bwd bit-consistent shard-by-shard.
+# would be wrong).  The per-shard lowering folds the shard's mesh position
+# into the dropout seed, so batch shards draw independent keep masks; the
+# forward and backward lowerings fold identically, keeping mask regeneration
+# bit-consistent shard-by-shard.
 # ---------------------------------------------------------------------------
 
 def _batch_sharding(mesh, sharding, ndim):
@@ -331,6 +354,19 @@ def _batch_sharding(mesh, sharding, ndim):
 def _replicated(mesh, ndim):
     from jax.sharding import NamedSharding, PartitionSpec
     return NamedSharding(mesh, PartitionSpec(*([None] * ndim)))
+
+
+def _shard_seed_offset(b_axis):
+    """Distinct int32 dropout-seed offset per batch shard (0 when the batch
+    dim is unsharded).  Called inside a per-shard lowering, where
+    ``axis_index`` resolves to this shard's position on the mesh axis."""
+    if b_axis is None:
+        return jnp.int32(0)
+    names = b_axis if isinstance(b_axis, tuple) else (b_axis,)
+    idx = jnp.int32(0)
+    for nm in names:
+        idx = idx * jax.lax.psum(1, nm) + jax.lax.axis_index(nm)
+    return idx * jnp.int32(0x632BE5AB)  # odd -> injective mod 2^32
 
 
 def _make_spmd(n_batch_args: int, n_results: int, n_static: int, fn,
@@ -349,6 +385,8 @@ def _make_spmd(n_batch_args: int, n_results: int, n_static: int, fn,
         return (out,) * n_results if n_results > 1 else out
 
     def partition(*top_args):
+        from jax.sharding import PartitionSpec
+
         mesh, arg_shapes, result_shape = top_args[-3:]
         static = top_args[:-3]
         b_shard = _batch_sharding(mesh, arg_shapes[0].sharding, 3)
@@ -358,7 +396,14 @@ def _make_spmd(n_batch_args: int, n_results: int, n_static: int, fn,
         else:
             result_shardings = b_shard
 
+        spec0 = getattr(arg_shapes[0].sharding, "spec", PartitionSpec())
+        b_axis = spec0[0] if len(spec0) else None
+
         def lower_fn(*args):
+            args = list(args)
+            # shard-distinct dropout streams (fwd and bwd fold identically,
+            # so per-shard mask regeneration stays bit-consistent)
+            args[n_batch_args] = args[n_batch_args] + _shard_seed_offset(b_axis)
             return fn(*args, *static)
 
         return mesh, lower_fn, result_shardings, arg_shardings

@@ -228,6 +228,33 @@ def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS,
     return jax.tree_util.tree_map(_put, batch)
 
 
+def shard_microbatches(batch, mesh: Optional[Mesh] = None,
+                       axis: str = DATA_AXIS):
+    """Place a ``(accum, rows, ...)`` host superbatch onto the mesh with dim 1
+    (the per-microbatch rows) sharded over ``axis`` and the leading
+    grad-accumulation dim unsharded.
+
+    Laying the accumulation dim out on the host keeps each microbatch's rows
+    contiguous per device — a plain in-jit reshape of a ``(accum*rows, ...)``
+    sharded batch would make every microbatch span a device subset and force
+    an all-to-all reshard.
+    """
+    mesh = mesh or default_mesh()
+    n = mesh.shape[axis]
+
+    def _put(x):
+        x = np.asarray(x)
+        if x.ndim < 2 or x.shape[1] % n == 0:
+            spec = (P(None, axis, *([None] * (x.ndim - 2)))
+                    if x.ndim >= 2 else P())
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        raise ValueError(
+            f"shard_microbatches: microbatch rows {x.shape[1]} not divisible "
+            f"by mesh axis {axis!r}={n}")
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
 def replicate(tree, mesh: Optional[Mesh] = None):
     """Replicate a pytree (params/state) across the mesh."""
     mesh = mesh or default_mesh()

@@ -72,6 +72,9 @@ def main(argv=None):
                         "vqvae_560.pt) to import instead of a native ckpt")
     p.add_argument("--name", type=str, default="codes.vq2")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--shapes", type=int, default=0, metavar="N",
+                   help="encode N procedural structured images (data/shapes.py) "
+                        "— must match the --shapes corpus the VQVAE trained on")
     p.add_argument("--random_init", action="store_true",
                    help="skip checkpoint restore (smoke runs)")
     p.add_argument("--workers", type=int, default=4,
@@ -86,6 +89,10 @@ def main(argv=None):
 
     if args.synthetic:
         dataset = SyntheticImages(n=args.batch_size * 4, size=args.size)
+    elif args.shapes:
+        from vqvae2_tpu.data.shapes import ShapesDataset
+
+        dataset = ShapesDataset(n=args.shapes, size=args.size)
     else:
         dataset = ImageFileDataset(args.path, size=args.size)
 

@@ -123,6 +123,9 @@ def train(args):
     # no cryptographic stream.
     rng = jax.random.key(args.seed + 1, impl="unsafe_rbg")
 
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(getattr(args, "metrics_csv", ""))
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
     if ckpt and args.resume:
         latest = ckpt.latest_step()
@@ -152,6 +155,7 @@ def train(args):
                 rate = n_done * args.batch / (time.perf_counter() - t0)
                 print(f"step {n_done}/{total_steps} loss {m['loss']:.5f} "
                       f"acc {m['acc']:.5f} ({rate:.1f} codes-rows/s)", flush=True)
+                csv.log(n_done, dict(m, rows_per_s=rate))
             if ckpt and n_done % (steps_per_epoch * 10) == 0:
                 ckpt.save_periodic(n_done, state)
             if n_done >= total_steps:
@@ -184,6 +188,8 @@ def build_argparser():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

@@ -56,8 +56,21 @@ def create_state(model: VQVAE, tx: optax.GradientTransformation,
 
 
 def make_train_step(model: VQVAE, tx: optax.GradientTransformation,
-                    latent_weight: float = LATENT_LOSS_WEIGHT):
-    """Returns jitted (state, batch) -> (state, metrics)."""
+                    latent_weight: float = LATENT_LOSS_WEIGHT,
+                    grad_accum: int = 1):
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    ``grad_accum > 1`` scans ``grad_accum`` microbatches inside the ONE
+    jitted program — mean-of-mean losses make the summed-then-averaged
+    gradient identical to the full-batch gradient, and a single optimizer
+    update fires at the end.  The batch must then arrive as
+    ``(grad_accum, rows, H, W, C)`` (see ``par.shard_microbatches``).  This
+    is the in-jit microbatching the reference gets from just raising the DDP
+    batch (``train_vqvae.py:199``) — here it also keeps the traced program at
+    microbatch size (the scan body is traced once), which is what fits a
+    b32-equivalent 256px step under the remote-compile graph ceiling.  The
+    VQ codebook EMA advances per microbatch through the scan carry.
+    """
 
     def loss_fn(params, vq_stats, x):
         (dec, diff), new_vars = model.apply(
@@ -84,7 +97,34 @@ def make_train_step(model: VQVAE, tx: optax.GradientTransformation,
         metrics = {"loss": loss, "recon_mse": recon, "latent": diff}
         return new_state, metrics
 
-    return train_step
+    if grad_accum == 1:
+        return train_step
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step_accum(state: TrainState, xs: jax.Array):
+        def micro(carry, xm):
+            vq_stats, gsum = carry
+            (loss, (recon, diff, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, vq_stats, xm)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return (new_stats, gsum), jnp.stack([loss, recon, diff])
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (vq_stats, gsum), ms = jax.lax.scan(
+            micro, (state.vq_stats, zeros), xs)
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            vq_stats=vq_stats, opt_state=opt_state,
+        )
+        m = jnp.mean(ms, axis=0)
+        return new_state, {"loss": m[0], "recon_mse": m[1], "latent": m[2]}
+
+    return train_step_accum
 
 
 def make_eval_step(model: VQVAE):
@@ -100,6 +140,10 @@ def train(args) -> Dict[str, float]:
     mesh = par.default_mesh()
     if args.synthetic:
         dataset = SyntheticImages(n=args.batch_size * 8, size=args.size)
+    elif args.shapes:
+        from vqvae2_tpu.data.shapes import ShapesDataset
+
+        dataset = ShapesDataset(n=args.shapes, size=args.size, seed=args.seed)
     else:
         dataset = ImageFileDataset(args.path, size=args.size)
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
@@ -126,13 +170,17 @@ def train(args) -> Dict[str, float]:
         if par.is_primary():
             print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
     state = par.replicate(state, mesh)
-    train_step = make_train_step(model, tx)
+    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+        raise SystemExit(f"--batch_size {args.batch_size} not divisible by "
+                         f"--grad_accum {args.grad_accum}")
+    train_step = make_train_step(model, tx, grad_accum=args.grad_accum)
     eval_step = make_eval_step(model)
 
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
-    from vqvae2_tpu.utils.metrics import TensorBoardWriter
+    from vqvae2_tpu.utils.metrics import CsvLogger, TensorBoardWriter
 
     tb = TensorBoardWriter(args.logdir)
+    csv = CsvLogger(args.metrics_csv)
 
     it = iterate_batches(dataset, args.batch_size, seed=args.seed,
                          epochs=None if args.steps else args.epoch,
@@ -141,7 +189,11 @@ def train(args) -> Dict[str, float]:
     t0 = time.perf_counter()
     n_done = 0
     for imgs, labels, paths in it:
-        x = par.shard_batch(imgs, mesh)
+        if args.grad_accum > 1:
+            x = par.shard_microbatches(
+                imgs.reshape(args.grad_accum, -1, *imgs.shape[1:]), mesh)
+        else:
+            x = par.shard_batch(imgs, mesh)
         state, metrics = train_step(state, x)
         n_done += 1
         if n_done % args.log_every == 0 and par.is_primary():
@@ -151,9 +203,10 @@ def train(args) -> Dict[str, float]:
                   f"loss {m['loss']:.4f} mse {m['recon_mse']:.4f} "
                   f"latent {m['latent']:.4f} ({rate:.1f} img/s)", flush=True)
             tb.add_scalars(m, n_done, prefix="train/")
+            csv.log(n_done, dict(m, img_per_s=rate))
             metrics_hist = m
         if args.sample_every and n_done % args.sample_every == 0 and par.is_primary():
-            dec = eval_step(state, x)
+            dec = eval_step(state, par.shard_batch(imgs[:8], mesh))
             grid = np.concatenate([imgs[:8], np.asarray(dec[:8])], axis=0)
             save_image(grid, f"{args.sample_dir}/{n_done:05d}.png", nrow=8)
         if ckpt and n_done % (steps_per_epoch * 10) == 0:
@@ -183,6 +236,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_embed", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--shapes", type=int, default=0, metavar="N",
+                   help="train on N in-memory procedural structured images "
+                        "(data/shapes.py) instead of an image directory")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split the global batch into this many sequential "
+                        "microbatches inside ONE jitted step (summed grads, "
+                        "one optimizer update) — b32-equivalent steps at 256px "
+                        "without tracing a b32 graph")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv/matmul compute (params stay fp32; the "
                         "quantizer distance search stays exact fp32)")
@@ -196,13 +257,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "num_workers, train_vqvae.py:199-201); 0 = inline")
     p.add_argument("--logdir", type=str, default="",
                    help="TensorBoard scalar logdir (optional)")
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    if not args.synthetic and not args.path:
-        raise SystemExit("provide an image directory or --synthetic")
+    if not args.synthetic and not args.shapes and not args.path:
+        raise SystemExit("provide an image directory, --shapes N, or --synthetic")
     return par.launch(train, args)
 
 

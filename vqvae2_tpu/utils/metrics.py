@@ -134,6 +134,31 @@ class TensorBoardWriter:
             self._w.flush()
 
 
+class CsvLogger:
+    """Append-mode per-step scalar CSV (loss curves for convergence
+    evidence; complements the TB writer, which needs a TB install to read).
+    No-op when ``path`` is empty.  Columns are fixed by the first write."""
+
+    def __init__(self, path: str = ""):
+        self.path = path
+        self._cols = None
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def log(self, step: int, scalars: Dict[str, float]):
+        if not self.path:
+            return
+        if self._cols is None:
+            self._cols = sorted(scalars)
+            if not os.path.exists(self.path) or os.path.getsize(self.path) == 0:
+                with open(self.path, "a") as f:
+                    f.write(",".join(["step"] + self._cols) + "\n")
+        with open(self.path, "a") as f:
+            f.write(",".join([str(int(step))] +
+                             [f"{float(scalars.get(c, float('nan'))):.6g}"
+                              for c in self._cols]) + "\n")
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str, enabled: bool = True):
     """jax.profiler trace context (SURVEY §5: the TPU analogue of the

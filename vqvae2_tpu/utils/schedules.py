@@ -193,32 +193,36 @@ class LRFinder:
     returns the LR at the steepest smoothed descent."""
 
     def __init__(self, lr_min: float, lr_max: float, step_size: int,
-                 linear: bool = False):
+                 linear: bool = False, smooth: float = 0.3):
         self.schedule = lr_finder(lr_min, lr_max, step_size, linear)
         self.step_size = step_size
+        self.smooth = smooth
         self.lrs: list = []
         self.losses: list = []
+        self.smoothed: list = []
 
     def record(self, loss) -> None:
         self.lrs.append(float(self.schedule(len(self.losses))))
-        self.losses.append(float(loss))
+        loss = float(loss)
+        prev = self.smoothed[-1] if self.smoothed else loss
+        self.losses.append(loss)
+        self.smoothed.append(self.smooth * loss + (1 - self.smooth) * prev
+                             if len(self.losses) > 1 else loss)
 
     @property
     def diverged(self) -> bool:
-        """Stop signal: smoothed loss blew past 4× its running minimum."""
-        if len(self.losses) < 2:
+        """Stop signal: EMA-smoothed loss blew past 4× its running minimum
+        (same smoothing as :meth:`suggest` — one noisy raw step must not
+        terminate the sweep)."""
+        if len(self.smoothed) < 2:
             return False
-        return self.losses[-1] > 4.0 * min(self.losses)
+        return self.smoothed[-1] > 4.0 * min(self.smoothed)
 
-    def suggest(self, smooth: float = 0.3) -> float:
+    def suggest(self) -> float:
         """LR at the steepest descent of the EMA-smoothed loss curve."""
         if len(self.losses) < 3:
             raise ValueError("record() more steps before suggest()")
-        ema, s = [], None
-        for v in self.losses:
-            s = v if s is None else smooth * v + (1 - smooth) * s
-            ema.append(s)
-        grads = np.diff(ema) / np.maximum(np.diff(self.lrs), 1e-12)
+        grads = np.diff(self.smoothed) / np.maximum(np.diff(self.lrs), 1e-12)
         return float(self.lrs[int(np.argmin(grads))])
 
     def save(self, filename: str) -> None:
