@@ -237,6 +237,10 @@ class VQVAE(nn.Module):
     # rematerialize encoder/decoder activations in the backward pass — the
     # jax.checkpoint HBM-for-FLOPs trade for large batches/resolutions
     remat: bool = False
+    # dead-code restart threshold for both quantizers (see Quantize) — off by
+    # default for reference parity; small-batch runs collapse to one live
+    # code for hundreds of steps without it
+    restart_threshold: float = 0.0
 
     def setup(self):
         dt = self.dtype
@@ -248,12 +252,14 @@ class VQVAE(nn.Module):
                          stride=2, dtype=dt)
         self.quantize_conv_t = nn.Conv(self.embed_dim, (1, 1), dtype=dt)
         self.quantize_t = Quantize(self.embed_dim, self.n_embed, self.decay,
-                                   axis_name=self.axis_name)
+                                   axis_name=self.axis_name,
+                                   restart_threshold=self.restart_threshold)
         self.dec_t = Dec(self.embed_dim, self.channel, self.n_res_block,
                              self.n_res_channel, stride=2, dtype=dt)
         self.quantize_conv_b = nn.Conv(self.embed_dim, (1, 1), dtype=dt)
         self.quantize_b = Quantize(self.embed_dim, self.n_embed, self.decay,
-                                   axis_name=self.axis_name)
+                                   axis_name=self.axis_name,
+                                   restart_threshold=self.restart_threshold)
         self.upsample_t = nn.ConvTranspose(self.embed_dim, (4, 4), strides=(2, 2),
                                            padding="SAME", dtype=dt)
         self.dec = Dec(self.in_channel, self.channel, self.n_res_block,

@@ -153,6 +153,7 @@ def train(args) -> Dict[str, float]:
         in_channel=3, channel=args.channel, n_res_block=args.n_res_block,
         n_res_channel=args.n_res_channel, embed_dim=args.embed_dim,
         n_embed=args.n_embed,
+        restart_threshold=getattr(args, "restart_threshold", 0.0),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     if args.sched == "cycle":
@@ -239,6 +240,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--shapes", type=int, default=0, metavar="N",
                    help="train on N in-memory procedural structured images "
                         "(data/shapes.py) instead of an image directory")
+    p.add_argument("--restart_threshold", type=float, default=0.0,
+                   help="dead-code restart: re-seed codes whose EMA cluster "
+                        "size falls below this from batch vectors (0 = off, "
+                        "reference parity; ~0.03 prevents small-batch "
+                        "codebook collapse)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split the global batch into this many sequential "
                         "microbatches inside ONE jitted step (summed grads, "
