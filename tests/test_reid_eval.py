@@ -106,3 +106,72 @@ def test_validate_end_to_end(tmp_path, rng):
     mAP = validate(model, variables, str(root), mode="all",
                    img_size=(36, 72), test_batch=8)
     assert 0.0 <= mAP <= 1.0
+
+
+def test_eval_sysu_matches_per_query_reference(rng):
+    """The vectorized eval_sysu (closed-form dedup CMC, no per-query Python
+    loop) must reproduce a literal per-query transcription of the reference
+    algorithm (reid_tools.py:162-235) on random data, including queries
+    whose identity is absent from the gallery."""
+    from vqvae2_tpu.eval.reid import eval_sysu
+
+    num_q, num_g, max_rank = 40, 120, 20
+    q_pids = rng.integers(0, 12, size=num_q)       # some ids absent (>=10)
+    g_pids = rng.integers(0, 10, size=num_g)
+    distmat = rng.normal(size=(num_q, num_g))
+
+    indices = np.argsort(distmat, axis=1)
+    pred_label = g_pids[indices]
+    matches = (pred_label == q_pids[:, None]).astype(np.int32)
+    id_all_cmc, all_ap, all_inp, num_valid_q = [], [], [], 0
+    for qi in range(num_q):
+        ranked_ids = pred_label[qi]
+        first_idx = np.sort(np.unique(ranked_ids, return_index=True)[1])
+        id_ranked = ranked_ids[first_idx]
+        id_cmc = (id_ranked == q_pids[qi]).astype(np.int32).cumsum()
+        id_all_cmc.append(np.pad(id_cmc[:max_rank],
+                                 (0, max(0, max_rank - len(id_cmc))),
+                                 mode="edge"))
+        orig = matches[qi]
+        if not orig.any():
+            continue
+        num_valid_q += 1
+        cum = orig.cumsum()
+        pos_max = np.max(np.nonzero(orig)[0])
+        all_inp.append(cum[pos_max] / (pos_max + 1.0))
+        prec = cum / (np.arange(num_g) + 1.0)
+        all_ap.append(float((prec * orig).sum() / orig.sum()))
+    ref_cmc = np.stack(id_all_cmc).astype(np.float32).sum(0) / num_valid_q
+
+    cmc, mAP, mINP = eval_sysu(distmat, q_pids, g_pids, max_rank=max_rank)
+    np.testing.assert_allclose(cmc, ref_cmc, atol=1e-6)
+    np.testing.assert_allclose(mAP, np.mean(all_ap), atol=1e-9)
+    np.testing.assert_allclose(mINP, np.mean(all_inp), atol=1e-9)
+
+
+def test_retrieval_eval_scales(rng):
+    """Host-time guard for SYSU-scale galleries: the vectorized eval_sysu
+    must stay in seconds (the per-query-loop version was minutes per
+    validate call at ~4k queries x 10 trials)."""
+    import time
+
+    from vqvae2_tpu.eval.reid import eval_sysu, rerank_dist
+
+    q_pids = rng.integers(0, 300, size=2000)
+    g_pids = rng.integers(0, 300, size=4000)
+    distmat = rng.normal(size=(2000, 4000)).astype(np.float32)
+    t0 = time.perf_counter()
+    cmc, mAP, mINP = eval_sysu(distmat, q_pids, g_pids)
+    dt = time.perf_counter() - t0
+    assert 0 <= mAP <= 1
+    # generous bound: this 1-CPU image runs contended; the guard exists to
+    # catch the minutes-level per-query loop, not to microbenchmark
+    assert dt < 60.0, f"eval_sysu took {dt:.1f}s at 2000x4000"
+
+    feat = rng.normal(size=(600, 64)).astype(np.float32)
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    d = rerank_dist(feat[:200], feat[200:])
+    dt = time.perf_counter() - t0
+    assert d.shape == (200, 400)
+    assert dt < 60.0, f"rerank_dist took {dt:.1f}s at n=600"

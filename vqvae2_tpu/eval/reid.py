@@ -35,39 +35,42 @@ def eval_sysu(distmat: np.ndarray, q_pids: np.ndarray, g_pids: np.ndarray,
 
     indices = np.argsort(distmat, axis=1)
     pred_label = g_pids[indices]
-    matches = (pred_label == q_pids[:, None]).astype(np.int32)
-
-    id_all_cmc, all_ap, all_inp = [], [], []
-    num_valid_q = 0
-    for qi in range(num_q):
-        # identity-deduplicated CMC: keep first occurrence of each gallery id
-        # in ranked order (reid_tools.py:193-198)
-        ranked_ids = pred_label[qi]
-        first_idx = np.sort(np.unique(ranked_ids, return_index=True)[1])
-        id_ranked = ranked_ids[first_idx]
-        id_cmc = (id_ranked == q_pids[qi]).astype(np.int32).cumsum()
-        id_all_cmc.append(id_cmc[:max_rank])
-
-        orig = matches[qi]
-        if not orig.any():
-            continue  # query id absent from gallery
-        num_valid_q += 1
-
-        cum = orig.cumsum()
-        pos_max = np.max(np.nonzero(orig)[0])
-        all_inp.append(cum[pos_max] / (pos_max + 1.0))
-
-        prec_at_hits = cum / (np.arange(num_g) + 1.0)
-        all_ap.append(float((prec_at_hits * orig).sum() / orig.sum()))
-
+    matches = pred_label == q_pids[:, None]
+    valid = matches.any(axis=1)                 # query id present in gallery
+    num_valid_q = int(valid.sum())
     assert num_valid_q > 0, "no query identity appears in the gallery"
-    # pad id-cmc rows shorter than max_rank (few unique gallery ids)
-    id_all_cmc = np.stack([
-        np.pad(r, (0, max_rank - len(r)), mode="edge") if len(r) < max_rank else r
-        for r in id_all_cmc
-    ]).astype(np.float32)
-    id_cmc = id_all_cmc.sum(0) / num_valid_q
-    return id_cmc, float(np.mean(all_ap)), float(np.mean(all_inp))
+
+    # Identity-deduplicated CMC (reid_tools.py:193-198), closed form: after
+    # dedup exactly one entry equals the query id, so the per-query curve is
+    # a step at `number of DISTINCT gallery ids ranked strictly before the
+    # first hit`.  First occurrences per (row, id): row-wise STABLE sort by
+    # id keeps rank order within equal ids, so the head of each equal-id run
+    # is the first occurrence — no per-query Python loop (the old loop was
+    # O(Q·G·logG) host time at SYSU scale, minutes per validate call).
+    order = np.argsort(pred_label, axis=1, kind="stable")
+    sorted_ids = np.take_along_axis(pred_label, order, axis=1)
+    head = np.concatenate(
+        [np.ones((num_q, 1), dtype=bool),
+         sorted_ids[:, 1:] != sorted_ids[:, :-1]], axis=1)
+    first_occ = np.empty((num_q, num_g), dtype=bool)
+    np.put_along_axis(first_occ, order, head, axis=1)
+
+    first_hit = matches.argmax(axis=1)          # 0 for invalid rows (unused)
+    before = np.arange(num_g)[None, :] < first_hit[:, None]
+    distinct_before = (first_occ & before).sum(axis=1)
+    distinct_before = np.where(valid, distinct_before, max_rank)  # all-miss row: zeros
+    id_cmc = (np.arange(max_rank)[None, :] >= distinct_before[:, None])
+    id_cmc = id_cmc.sum(axis=0).astype(np.float32) / num_valid_q
+
+    cum = matches.cumsum(axis=1)
+    prec = cum / (np.arange(num_g) + 1.0)[None, :]
+    n_hits = matches.sum(axis=1)
+    ap = (prec * matches).sum(axis=1)[valid] / n_hits[valid]
+
+    pos_max = num_g - 1 - matches[:, ::-1].argmax(axis=1)
+    inp = (cum[np.arange(num_q), pos_max] / (pos_max + 1.0))[valid]
+
+    return id_cmc, float(ap.mean()), float(inp.mean())
 
 
 def rerank_dist(prob_feat: np.ndarray, gal_feat: np.ndarray,
@@ -86,25 +89,39 @@ def rerank_dist(prob_feat: np.ndarray, gal_feat: np.ndarray,
     original = (original / original.max(axis=0)).T
     rank = np.argsort(original, axis=1).astype(np.int32)
 
-    def k_reciprocal(i: int, k: int) -> np.ndarray:
-        fwd = rank[i, : k + 1]
-        back = rank[fwd, : k + 1]
-        return fwd[np.where(back == i)[0]]
+    def k_reciprocal_all(k: int):
+        """Padded (n, k+1) reciprocal-neighbor table + validity mask, for
+        every probe at once (the old per-call version re-ran the gather for
+        every (i, candidate) pair — O(n·k1) redundant argsort-row reads)."""
+        fwd = rank[:, : k + 1]                                # (n, k+1)
+        back = rank[fwd, : k + 1]                             # (n, k+1, k+1)
+        mask = (back == np.arange(n)[:, None, None]).any(-1)  # reciprocal?
+        return fwd, mask
+
+    recip_k1, recip_k1_mask = k_reciprocal_all(k1)
+    half_k1 = int(np.around(k1 / 2))
+    recip_h, recip_h_mask = k_reciprocal_all(half_k1)
 
     V = np.zeros_like(original)
-    half_k1 = int(np.around(k1 / 2))
+    in_set = np.zeros(n, dtype=bool)  # reusable membership lookup
     for i in range(n):
-        expansion = k_recip = k_reciprocal(i, k1)
-        for cand in k_recip:
-            cand_recip = k_reciprocal(int(cand), half_k1)
-            if len(np.intersect1d(cand_recip, k_recip)) > (2.0 / 3.0) * len(cand_recip):
-                expansion = np.append(expansion, cand_recip)
-        expansion = np.unique(expansion)
+        k_recip = recip_k1[i][recip_k1_mask[i]]
+        in_set[k_recip] = True
+        # candidate expansion, all candidates at once: a candidate's half-k
+        # reciprocal set joins if >2/3 of it already lies in k_recip
+        cand_sets = recip_h[k_recip]                          # (c, h+1)
+        cand_valid = recip_h_mask[k_recip]
+        inter = (in_set[cand_sets] & cand_valid).sum(1)
+        take = inter > (2.0 / 3.0) * cand_valid.sum(1)
+        expansion = np.unique(np.concatenate(
+            [k_recip, cand_sets[take][cand_valid[take]]]))
+        in_set[k_recip] = False
         w = np.exp(-original[i, expansion])
         V[i, expansion] = w / w.sum()
 
     if k2 != 1:
-        V = np.stack([V[rank[i, :k2]].mean(axis=0) for i in range(n)])
+        # query-expansion smoothing without the (n, k2, n) gather blowup
+        V = sum(V[rank[:, j]] for j in range(k2)) / k2
 
     original_q = original[:q]
     inv_index = [np.where(V[:, j] != 0)[0] for j in range(n)]
