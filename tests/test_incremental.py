@@ -44,6 +44,7 @@ def test_incremental_matches_full_forward_bottom(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_incremental_sampler_runs(rng):
     model = PixelSNAIL(shape=(4, 4), n_class=8, channel=16, kernel_size=5,
                        n_block=1, n_res_block=1, res_channel=16, dropout=0.0)

@@ -187,6 +187,7 @@ def test_module_running_stats(rng):
     assert z_eval.shape == x.shape
 
 
+@pytest.mark.slow
 def test_sync_abn_shard_map(devices):
     """Under shard_map, the synced moments must equal global moments: per-device
     outputs concat == single-device output on the full batch."""

@@ -142,6 +142,7 @@ def _import_into_ours(rm, model, x):
     return ti.import_vqvae(rm.state_dict(), variables)
 
 
+@pytest.mark.slow
 def test_vqvae_oracle_encode_and_forward():
     rm = _tiny_ref_vqvae()
     rm.eval()
@@ -171,6 +172,7 @@ def test_vqvae_oracle_encode_and_forward():
                                ir_t.numpy().transpose(0, 2, 3, 1), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vqvae_oracle_ema_training_step():
     rm = _tiny_ref_vqvae()
     model = _our_vqvae()
@@ -241,12 +243,14 @@ def _pixelsnail_pair(attention: bool, conditional: bool, n_out_res_block=0):
     return np.asarray(logits), ref_logits.numpy().transpose(0, 2, 3, 1)
 
 
+@pytest.mark.slow
 def test_pixelsnail_top_oracle():
     ours, ref = _pixelsnail_pair(attention=True, conditional=False,
                                  n_out_res_block=1)
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pixelsnail_bottom_oracle():
     ours, ref = _pixelsnail_pair(attention=False, conditional=True)
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
@@ -256,6 +260,7 @@ def test_pixelsnail_bottom_oracle():
 # VQVAE_Deep: codes, quant latents, styled decode (vqvae_deep.py:234-320)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_vqvae_deep_oracle():
     import vqvae_deep as ref
 

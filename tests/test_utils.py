@@ -235,3 +235,25 @@ def test_iterate_batches_workers_and_prefetch_iter():
 
     with pytest.raises(RuntimeError, match="producer failed"):
         list(prefetch_iter(boom))
+
+
+def test_raw_uint8_path_matches_normalized():
+    """raw=True datasets ship uint8 (4x less host->device traffic) and
+    to_unit_device must reproduce the host normalize exactly; the stage-1
+    loss_fn accepts either dtype."""
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.data.datasets import normalize_to_unit, to_unit_device
+    from vqvae2_tpu.data.shapes import ShapesDataset
+
+    ds_f = ShapesDataset(n=2, size=32)
+    ds_u = ShapesDataset(n=2, size=32, raw=True)
+    xf, _, _ = ds_f[0]
+    xu, _, _ = ds_u[0]
+    assert xu.dtype == np.uint8 and xf.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(to_unit_device(jnp.asarray(xu))),
+                                  normalize_to_unit(xu))
+    np.testing.assert_array_equal(normalize_to_unit(xu), xf)
+    # float input passes through untouched
+    np.testing.assert_array_equal(
+        np.asarray(to_unit_device(jnp.asarray(xf))), xf)

@@ -26,14 +26,30 @@ def normalize_to_unit(img: np.ndarray) -> np.ndarray:
     return img.astype(np.float32) / 127.5 - 1.0
 
 
+def to_unit_device(x):
+    """In-jit normalize: uint8 → float32 [-1, 1]; float passes through.
+
+    TPU-first data path: trainers ship RAW uint8 pixels to the device and
+    normalize there — 4× less host→device traffic than pre-normalized fp32
+    (measured through the tunnel: the fp32 upload dominated the wall step
+    time of the 256px stage-1 loop), and the same win applies to PCIe hosts.
+    """
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
 class ImageFileDataset:
     """Recursively indexes an image directory; returns (img, class_idx, relpath)
     like the reference ``ImageFileDataset.__getitem__`` (``dataset.py:14-22``,
     which returns the torchvision sample plus the filename for extract_code)."""
 
-    def __init__(self, root: str, size: int = 256):
+    def __init__(self, root: str, size: int = 256, raw: bool = False):
         self.root = os.path.abspath(root)
         self.size = size
+        self.raw = raw  # True → items stay uint8 (normalize on device)
         self.samples: List[Tuple[str, int]] = []
         classes = {}
         for dirpath, _, names in sorted(os.walk(self.root)):
@@ -60,7 +76,9 @@ class ImageFileDataset:
         w, h = img.size
         left, top = (w - self.size) // 2, (h - self.size) // 2
         img = img.crop((left, top, left + self.size, top + self.size))
-        arr = normalize_to_unit(np.asarray(img, dtype=np.uint8))
+        arr = np.asarray(img, dtype=np.uint8)
+        if not self.raw:
+            arr = normalize_to_unit(arr)
         rel = os.path.relpath(path, self.root)
         return arr, cls, rel
 

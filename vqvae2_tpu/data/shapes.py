@@ -80,9 +80,10 @@ class ShapesDataset:
     reference uses for SYSU blobs (``data_loader.py:28-59``)."""
 
     def __init__(self, n: int = 2048, size: int = 256, seed: int = 0,
-                 cache: bool = True):
+                 cache: bool = True, raw: bool = False):
         self.n, self.size, self.seed = n, size, seed
         self.num_classes = 1
+        self.raw = raw  # True → items stay uint8 (normalize on device)
         self._cache: dict = {} if cache else None
 
     def __len__(self) -> int:
@@ -100,7 +101,10 @@ class ShapesDataset:
         return render_shapes_image(i, self.size, self.seed)
 
     def __getitem__(self, i: int):
-        return (normalize_to_unit(self._render(i)), 0, f"shapes/{i:06d}.png")
+        img = self._render(i)
+        if not self.raw:
+            img = normalize_to_unit(img)
+        return (img, 0, f"shapes/{i:06d}.png")
 
 
 def save_shapes_dataset(root: str, n: int = 2048, size: int = 256,

@@ -224,6 +224,14 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
             precision=precision).astype(dk_ref.dtype)
 
 
+# Tile-size ceiling: the backward kernels hold ~4 (tq, tk) fp32 temporaries
+# (s, mask, p, dp/ds) on the VMEM stack — a 1024 tile is 4 MB each and
+# overflows the 16 MB scoped-vmem limit (observed: 16.72 M at N=1024, d=16).
+# Forward and backward MUST tile identically when dropout is on (per-tile
+# PRNG seeds regenerate the keep masks), so the cap applies to both.
+_MAX_TILE = 512
+
+
 def _pick_block(n: int, want: int) -> int:
     if n % 8:
         # halving `want` below can bottom out at a tile that does not divide
@@ -240,7 +248,7 @@ def _pick_block(n: int, want: int) -> int:
 def _flash_fwd(q, k, v, seed, dropout_rate: float, block: int, precision,
                interpret: bool = False):
     bh, n, d = q.shape
-    tq = tk = _pick_block(n, block)
+    tq = tk = _pick_block(n, min(block, _MAX_TILE))
     nq, nk = n // tq, n // tk
     sm_scale = 1.0 / math.sqrt(d)
     kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale,
@@ -280,7 +288,7 @@ def _flash_fwd(q, k, v, seed, dropout_rate: float, block: int, precision,
 def _flash_bwd(q, k, v, do, o, lse, seed, dropout_rate: float, block: int,
                precision, interpret: bool = False):
     bh, n, d = q.shape
-    tq = tk = _pick_block(n, block)
+    tq = tk = _pick_block(n, min(block, _MAX_TILE))
     nq, nk = n // tq, n // tk
     sm_scale = 1.0 / math.sqrt(d)
     dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
@@ -465,8 +473,10 @@ def causal_flash_attention(
       dropout_rate: dropout on the attention probabilities (reference
         ``pixelsnail.py:205,226``); requires ``dropout_rng`` when > 0.
       dropout_rng: PRNG key folded into the in-kernel counter-based draw.
-      block: q/k tile length (auto-shrunk to divide N; 1024 measured
-        fastest at both the 32x32 and 64x64 grids on v5e).
+      block: q/k tile length (auto-shrunk to divide N, capped at 512 — the
+        backward's (tq, tk) fp32 temporaries overflow the 16 MB scoped-VMEM
+        stack at 1024, and fwd/bwd must tile identically for the per-tile
+        dropout seeds to regenerate the same masks).
 
     Returns ``(B, H, N, D)`` in the dtype of ``q``.
     """

@@ -29,11 +29,15 @@ def extract(model: VQVAE, variables, dataset, out_path: str,
             batch_size: int = 64, size: int = 256, workers: int = 4) -> int:
     mesh = par.default_mesh()
 
+    from vqvae2_tpu.data.datasets import to_unit_device
+
     @jax.jit
     def encode(variables, x):
         # ids-only path: skips the bottom-grid lookup matmul and stat
-        # outputs the store never consumes
-        return model.apply(variables, x, method=model.encode_ids)
+        # outputs the store never consumes.  Raw uint8 batches normalize
+        # here (4x less host->device traffic than fp32).
+        return model.apply(variables, to_unit_device(x),
+                           method=model.encode_ids)
 
     top_shape = (size // 8, size // 8)
     bot_shape = (size // 4, size // 4)
@@ -92,9 +96,9 @@ def main(argv=None):
     elif args.shapes:
         from vqvae2_tpu.data.shapes import ShapesDataset
 
-        dataset = ShapesDataset(n=args.shapes, size=args.size)
+        dataset = ShapesDataset(n=args.shapes, size=args.size, raw=True)
     else:
-        dataset = ImageFileDataset(args.path, size=args.size)
+        dataset = ImageFileDataset(args.path, size=args.size, raw=True)
 
     cfg = {}
     if args.ckpt_dir:
