@@ -84,21 +84,9 @@ def bench_torch_cpu():
         return nn.Sequential(nn.ReLU(), nn.Conv2d(CHANNEL, N_RES_CH, 3, padding=1),
                              nn.ReLU(), nn.Conv2d(N_RES_CH, CHANNEL, 1))
 
-    enc_b = nn.Sequential(
-        nn.Conv2d(3, CHANNEL // 2, 4, stride=2, padding=1), nn.ReLU(),
-        nn.Conv2d(CHANNEL // 2, CHANNEL, 4, stride=2, padding=1), nn.ReLU(),
-        nn.Conv2d(CHANNEL, CHANNEL, 3, padding=1),
-        *[res_block() for _ in range(N_RES)], nn.ReLU(),
-    )
-    enc_t = nn.Sequential(
-        nn.Conv2d(CHANNEL, CHANNEL // 2, 4, stride=2, padding=1), nn.ReLU(),
-        nn.Conv2d(CHANNEL // 2, CHANNEL, 3, padding=1),
-        *[res_block() for _ in range(N_RES)], nn.ReLU(),
-    )
     proj = nn.Conv2d(CHANNEL, EMBED_DIM, 1)
     codebook = torch.randn(N_EMBED, EMBED_DIM)
 
-    # NOTE: residual adds are skipped inside nn.Sequential above; wrap properly
     class Res(nn.Module):
         def __init__(self, block):
             super().__init__()
@@ -107,7 +95,6 @@ def bench_torch_cpu():
         def forward(self, x):
             return x + self.block(x)
 
-    # rebuild with residual semantics
     def enc(cin, stride):
         layers = [nn.Conv2d(cin, CHANNEL // 2, 4, stride=2, padding=1), nn.ReLU()]
         if stride == 4:

@@ -277,16 +277,78 @@ def check_grad_accum(fast: bool = False):
 
     st, losses = run(state, x)
     first = float(losses[0])
-    best = np.inf
+    best, last = np.inf, np.nan
     for _ in range(3):
         t0 = time.perf_counter()
         st, losses = run(st, x)
+        last = float(losses[-1])  # block INSIDE the timed region
         best = min(best, time.perf_counter() - t0)
-    last = float(losses[-1])
     assert np.isfinite(last) and last < first, f"loss {first}->{last}"
     ips = accum * micro * n_steps / best
     return (f"global b{accum * micro} = {accum}x b{micro} microbatches: "
             f"{ips:,.0f} img/s (loss {first:.3f}->{last:.3f})")
+
+
+@check("stage-2 train-step timing (full reference configs, bf16+rbg)")
+def check_stage2_step(fast: bool = False):
+    if fast:
+        return "skipped (--fast)"
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.train.pixelsnail import (PriorState, build_model,
+                                             make_train_step)
+
+    results = []
+    for hier, batch in (("top", 32), ("bottom", 16)):
+        args = argparse.Namespace(
+            n_class=512, channel=256, n_res_block=4, n_res_channel=256,
+            n_out_res_block=0, n_cond_res_block=3, dropout=0.1, bf16=True)
+        model = build_model(hier, args)
+        conditional = hier == "bottom"
+        hw = 64 if conditional else 32
+        rng = np.random.default_rng(0)
+        batch_d = {"target": jnp.asarray(rng.integers(
+            0, 512, size=(batch, hw, hw)).astype(np.int32))}
+        init_cond = None
+        if conditional:
+            batch_d["condition"] = jnp.asarray(rng.integers(
+                0, 512, size=(batch, 32, 32)).astype(np.int32))
+            init_cond = jnp.zeros((1, 32, 32), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, hw, hw), jnp.int32),
+                               condition=init_cond)
+        tx = optax.adam(3e-4)
+        state = PriorState(step=jnp.zeros((), jnp.int32),
+                           params=variables["params"],
+                           opt_state=tx.init(variables["params"]))
+        step = make_train_step(model, tx, conditional).__wrapped__
+        key = jax.random.key(1, impl="unsafe_rbg")
+        n_steps = 5
+
+        @jax.jit
+        def run(state, batch):
+            def body(s, _):
+                s, m = step(s, batch, key)
+                return s, m["loss"]
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        st, losses = run(state, batch_d)
+        first = float(losses[0])
+        best, last = np.inf, np.nan
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st, losses = run(st, batch_d)
+            last = float(losses[-1])  # block INSIDE the timed region
+            best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(last) and last < first, f"{hier} loss {first}->{last}"
+        ms = best / n_steps * 1e3
+        results.append(f"{hier} b{batch}: {ms:.1f} ms/step "
+                       f"({batch / (best / n_steps):,.0f} rows/s)")
+    return "; ".join(results)
 
 
 @check("full-size incremental sampling rate")
@@ -403,7 +465,7 @@ def main():
     print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
     checks = [check_quantize, check_flash_attention, check_abn,
               check_incremental, check_bench, check_train_step,
-              check_grad_accum, check_sampling_rate,
+              check_grad_accum, check_stage2_step, check_sampling_rate,
               check_bottom_sampling_rate, check_e2e_generation]
     failed = 0
     for fn in checks:
