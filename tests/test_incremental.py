@@ -57,6 +57,7 @@ def test_incremental_sampler_runs(rng):
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
 
 
+@pytest.mark.slow
 def test_incremental_sampler_matches_full_sampler_distributionally(rng):
     """Same rng stream + same per-step logits → identical draws as the
     full-forward sampler."""

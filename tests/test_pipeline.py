@@ -34,6 +34,7 @@ def test_sampler_basic():
     assert not np.array_equal(np.asarray(codes), np.asarray(codes3))
 
 
+@pytest.mark.slow
 def test_sampler_conditional():
     from vqvae2_tpu.models.pixelsnail import PixelSNAIL
 

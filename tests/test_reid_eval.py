@@ -149,6 +149,7 @@ def test_eval_sysu_matches_per_query_reference(rng):
     np.testing.assert_allclose(mINP, np.mean(all_inp), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_retrieval_eval_scales(rng):
     """Host-time guard for SYSU-scale galleries: the vectorized eval_sysu
     must stay in seconds (the per-query-loop version was minutes per

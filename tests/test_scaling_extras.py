@@ -9,6 +9,7 @@ from vqvae2_tpu import parallel as par
 from vqvae2_tpu.models.vqvae import Quantize, VQVAE
 
 
+@pytest.mark.slow
 def test_fsdp_shard_consistency(devices, rng):
     """An FSDP-sharded state must produce the same train step results as a
     replicated one (GSPMD inserts the gathers)."""
@@ -41,6 +42,7 @@ def test_fsdp_shard_consistency(devices, rng):
     assert any(not s.sharding.is_fully_replicated for s in sharded)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_sequential_reference(rng):
     """grad_accum=K (in-jit scan of K microbatches, summed/averaged grads,
     one optimizer update, EMA threaded through the carry) must match an
