@@ -13,3 +13,12 @@ Layout (mirrors SURVEY.md §1 layer map, redesigned TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (12 s -> 1.2 s first-step wall in a fresh
+# process for the stage-1 train step; the win is 10-40 MINUTES on stage-2
+# graphs through the remote-compile helper). Opt out:
+# VQVAE2_TPU_NO_COMPILE_CACHE=1. See utils/compile_cache.py.
+from vqvae2_tpu.utils import compile_cache as _compile_cache
+
+_compile_cache.enable()
+del _compile_cache
