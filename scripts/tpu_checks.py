@@ -3,7 +3,14 @@ performance check on the real chip.  (The pytest suite deliberately runs on a
 virtual CPU mesh; this script is its hardware counterpart — see
 .claude/skills/verify/SKILL.md.)
 
-Usage: python scripts/tpu_checks.py [--fast]
+Usage: python scripts/tpu_checks.py [--fast] [--heavy]
+
+--heavy runs ONLY the ReID / adaptation / GAN / detection trainer
+checks (big one-off remote compiles; the persistent compile cache
+makes re-runs load from disk).  tests/test_tpu_checks_heavy.py
+executes the same check bodies at tiny configs on CPU (opt-in
+`-m heavy_smoke`, 5-15 min each) so a typo never costs a
+30-minute TPU compile.
 """
 
 from __future__ import annotations
@@ -454,24 +461,361 @@ def check_e2e_generation(fast: bool = False):
     return f"batch {batch} in {dt:.1f}s = {per_min:,.0f} img/min (256px)"
 
 
+# --------------------------------------------------------------------------
+# Heavy group (--heavy): the ReID / adaptation / GAN / detection trainer
+# families on hardware.  Each first compile is a big graph through the
+# tunnel (5-40 min, one-off — the persistent compile cache in
+# utils/compile_cache.py makes re-runs load from disk), so these run only
+# when asked for.  Every train-step check asserts its loss FALLS, mirroring
+# check_train_step.
+# --------------------------------------------------------------------------
+
+
+def _time_train_scan(step_raw, state, args_tuple, n_steps, pick=None):
+    """Scan the raw (unjitted) step body n_steps times inside one jit and
+    time best-of-3 executions (same methodology as check_train_step: the
+    state carry is a true sequential dependence, so LICM cannot hoist the
+    step; the first post-compile run pays a one-off upload cost)."""
+    import jax
+
+    pick = pick or (lambda m: m["loss"] if isinstance(m, dict) else m)
+
+    @jax.jit
+    def run(state, *args):
+        def body(s, _):
+            s, out = step_raw(s, *args)
+            return s, pick(out)
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    st, losses = run(state, *args_tuple)
+    first = float(losses[0])
+    best, last = np.inf, np.nan
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, losses = run(st, *args_tuple)
+        last = float(losses[-1])  # scalar fetch blocks INSIDE the timed region
+        best = min(best, time.perf_counter() - t0)
+    return best / n_steps, first, last
+
+
+def _sysu_like_batch(rng, n_ids, num_pos, hw, parts=False):
+    """Identity-structured random batch in the SYSU tensor layout."""
+    import jax.numpy as jnp
+    n = n_ids * num_pos
+    mk = lambda: jnp.asarray(rng.normal(size=(n, *hw, 3)).astype(np.float32))
+    batch = {"rgb": mk(), "ir": mk(),
+             "label": jnp.asarray(np.repeat(np.arange(n_ids), num_pos)
+                                  .astype(np.int32))}
+    if parts:
+        batch["gray"] = mk()
+        for k in ("part1", "part2"):
+            batch[k] = jnp.asarray(rng.integers(
+                0, 7, size=(n, *hw)).astype(np.int32))
+    return batch
+
+
+@check("ReID train step (EmbedNet2+parsing, resnet50, 288x144, P6xK4)")
+def check_reid_step(heavy: bool = False, n_ids=6, num_pos=4,
+                    hw=(288, 144), arch="resnet50", class_num=395,
+                    n_steps=4, bf16=False):
+    """The reference's train_reid.py hot loop (3-modality forward + parsing
+    + part-InfoNCE + cross-modal triplets) at the trainer-default config."""
+    if not heavy:
+        return "skipped (needs --heavy)"
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.part.part_model import EmbedNet2
+    from vqvae2_tpu.train.reid import ReidState, make_optimizer, make_train_step
+
+    rng = np.random.default_rng(0)
+    batch = _sysu_like_batch(rng, n_ids, num_pos, hw, parts=True)
+    model = EmbedNet2(class_num=class_num, arch=arch,
+                      dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    tx = make_optimizer(0.1, steps_per_epoch=1000)
+    probe = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xRGB=probe, xIR=probe,
+                           xZ=probe, modal=0, train=True)
+    state = ReidState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables["batch_stats"],
+                      opt_state=tx.init(variables["params"]))
+    step = make_train_step(model, tx, num_pos, n_ids, hw).__wrapped__
+    key = jax.random.key(1, impl="unsafe_rbg")
+    sec, first, last = _time_train_scan(step, state, (batch, key), n_steps)
+    assert np.isfinite(last) and last < first, f"loss {first}->{last}"
+    n = n_ids * num_pos
+    return (f"{sec * 1e3:.0f} ms/step ({3 * n / sec:,.0f} img/s incl. 3 "
+            f"modalities; loss {first:.2f}->{last:.2f})")
+
+
+@check("ReID train step bf16 (--bf16 path of train/reid.py)")
+def check_reid_step_bf16(heavy: bool = False):
+    return check_reid_step(heavy=heavy, bf16=True)
+
+
+@check("deep-adaptive train step (ModelAdaptive_Deep, 288x144, P4xK4)")
+def check_adaptive_deep_step(heavy: bool = False, n_ids=4, num_pos=4,
+                             hw=(288, 144), arch="resnet18", class_num=395,
+                             n_steps=4):
+    """The reference's train_vqvae_deep.py two-optimizer hot loop (reid step
+    + masked-recon generator step) at the trainer-default config."""
+    if not heavy:
+        return "skipped (needs --heavy)"
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.models.adaptive import ModelAdaptive_Deep
+    from vqvae2_tpu.train.vqvae_deep import (DeepState, _split_params,
+                                             make_train_step)
+
+    # hw: H/8, W/8 must be even (deep geometry)
+    rng = np.random.default_rng(0)
+    batch = _sysu_like_batch(rng, n_ids, num_pos, hw)
+    model = ModelAdaptive_Deep(class_num=class_num, arch=arch)
+    tx_reid, tx_gen = optax.adam(3e-4), optax.adam(3e-4)
+    probe = jnp.zeros((2, *hw, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        probe, method=model.init_probe)
+    reid_params, gen_params = _split_params(variables["params"])
+    state = DeepState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables.get("batch_stats", {}),
+                      vq_stats=variables.get("vq_stats", {}),
+                      opt_reid=tx_reid.init(reid_params),
+                      opt_gen=tx_gen.init(gen_params))
+    step = make_train_step(model, tx_reid, tx_gen, num_pos).__wrapped__
+    key = jax.random.key(2, impl="unsafe_rbg")
+    sec, first, last = _time_train_scan(step, state, (batch, key), n_steps,
+                                        pick=lambda m: m["loss_gen"])
+    assert np.isfinite(last) and last < first, f"loss_gen {first}->{last}"
+    return (f"{sec * 1e3:.0f} ms/step ({n_ids * num_pos / sec:,.0f} img/s; "
+            f"loss_gen {first:.2f}->{last:.2f})")
+
+
+@check("StarGAN-v2 train step (3 optimizers + R1, 288x144, P4xK4)")
+def check_stargan_step(heavy: bool = False, n_ids=4, num_pos=4,
+                       hw=(288, 144), arch="resnet18", class_num=395,
+                       img_size=256, n_steps=4):
+    """The reference's train_vqvae_deep_bi2.py hot loop: reid + two
+    generators + image discriminator with R1 (nested grad)."""
+    if not heavy:
+        return "skipped (needs --heavy)"
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.models.stargan import ModelStarGAN
+    from vqvae2_tpu.train.stargan_bi import GanState, _split, make_train_step
+
+    rng = np.random.default_rng(0)
+    b = _sysu_like_batch(rng, n_ids, num_pos, hw)
+    gray = jnp.repeat(jnp.mean(b["rgb"], axis=-1, keepdims=True), 3, axis=-1)
+    batch = {"gray": gray, "ir": b["ir"], "aug_rgb": b["rgb"],
+             "aug_ir": b["ir"], "label": b["label"]}
+    model = ModelStarGAN(class_num=class_num, arch=arch, img_size=img_size)
+    tx_reid = optax.sgd(0.1, momentum=0.9, nesterov=True)
+    tx_gen, tx_disc = optax.adam(1e-4), optax.adam(1e-4)
+    probe = jnp.zeros((2 * num_pos, *hw, 3), jnp.float32)
+
+    def init_probe(module):
+        feat, *_ = module.person_id(xRGB=probe, xIR=probe, modal=0,
+                                    with_feature=True)
+        fv, fi = jnp.split(feat, 2, axis=0)
+        module.gen_1(probe, fi)
+        module.gen_2(probe, fv)
+        return module.discriminate(probe,
+                                   jnp.zeros((probe.shape[0],), jnp.int32))
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        method=init_probe)
+    reid_params, gen_params, disc_params = _split(variables["params"])
+    state = GanState(step=jnp.zeros((), jnp.int32),
+                     params=variables["params"],
+                     batch_stats=variables.get("batch_stats", {}),
+                     opt_reid=tx_reid.init(reid_params),
+                     opt_gen=tx_gen.init(gen_params),
+                     opt_disc=tx_disc.init(disc_params))
+    step = make_train_step(model, tx_reid, tx_gen, tx_disc, num_pos).__wrapped__
+    key = jax.random.key(3, impl="unsafe_rbg")
+    sec, first, last = _time_train_scan(
+        step, state, (batch, key), n_steps,
+        pick=lambda m: m["d_real"] + m["d_fake"])
+    assert np.isfinite(last) and last < first, f"D loss {first}->{last}"
+    return (f"{sec * 1e3:.0f} ms/step ({n_ids * num_pos / sec:,.0f} img/s; "
+            f"D {first:.2f}->{last:.2f})")
+
+
+@check("SSD300 train step (MultiBox, 300px, b8)")
+def check_ssd_step(heavy: bool = False, batch=8, n_steps=10):
+    if not heavy:
+        return "skipped (needs --heavy)"
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.detection import boxes as B
+    from vqvae2_tpu.detection.data import (CocoDetectionDataset,
+                                           make_synthetic_coco)
+    from vqvae2_tpu.detection.ssd import SSD300
+    from vqvae2_tpu.train.detection import DetState, make_train_step
+
+    with tempfile.TemporaryDirectory() as td:
+        img_dir, ann = make_synthetic_coco(td, n=batch, size=300,
+                                           n_classes=13)
+        dataset = CocoDetectionDataset(img_dir, ann, size=300)
+        imgs, gt_boxes, gt_labels, _ = next(iter(
+            dataset.batches(batch, shuffle=False)))
+    imgs, gt_boxes, gt_labels = map(jnp.asarray, (imgs, gt_boxes, gt_labels))
+    model = SSD300(num_classes=dataset.num_classes, arch="resnet18")
+    tx = optax.adam(1e-3)
+    dboxes = B.default_boxes_ssd300(fig_size=300)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3)))
+    state = DetState(step=jnp.zeros((), jnp.int32),
+                     params=variables["params"],
+                     batch_stats=variables["batch_stats"],
+                     opt_state=tx.init(variables["params"]))
+    step = make_train_step(model, tx, dboxes).__wrapped__
+    sec, first, last = _time_train_scan(
+        step, state, (imgs, gt_boxes, gt_labels), n_steps)
+    assert np.isfinite(last) and last < first, f"loss {first}->{last}"
+    return (f"{sec * 1e3:.1f} ms/step ({batch / sec:,.0f} img/s; "
+            f"loss {first:.2f}->{last:.2f})")
+
+
+@check("Mask R-CNN train step (RPN+RoI+mask, 256px, b4)")
+def check_maskrcnn_step(heavy: bool = False, batch=4, size=256,
+                        num_proposals=64, n_steps=10):
+    if not heavy:
+        return "skipped (needs --heavy)"
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.detection import mask_rcnn as M
+    from vqvae2_tpu.detection.data import (CocoDetectionDataset,
+                                           make_synthetic_coco)
+    from vqvae2_tpu.train.maskrcnn import MRState, make_train_step
+
+    with tempfile.TemporaryDirectory() as td:
+        img_dir, ann = make_synthetic_coco(td, n=batch, size=size,
+                                           n_classes=13, with_masks=True)
+        dataset = CocoDetectionDataset(img_dir, ann, size=size,
+                                       with_masks=True)
+        imgs, gt_boxes, gt_labels, _, gt_masks = next(iter(
+            dataset.batches(batch, shuffle=False, with_masks=True)))
+    imgs, gt_boxes, gt_labels, gt_masks = map(
+        jnp.asarray, (imgs, gt_boxes, gt_labels, gt_masks))
+    model = M.MaskRCNN(num_classes=dataset.num_classes, img_size=size,
+                       num_proposals=num_proposals, arch="resnet18")
+    anchors = M.generate_anchors(size)
+    tx = optax.adam(1e-4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)))
+    p2 = jnp.zeros((1, size // 4, size // 4, 128))
+    rois = jnp.zeros((1, num_proposals, 4))
+    roi_vars = model.init(jax.random.PRNGKey(1), p2, rois,
+                          method=model.roi_outputs)
+    params = {**roi_vars["params"], **variables["params"]}
+    state = MRState(step=jnp.zeros((), jnp.int32), params=params,
+                    batch_stats=variables.get("batch_stats", {}),
+                    opt_state=tx.init(params))
+    step = make_train_step(model, tx, anchors).__wrapped__
+    sec, first, last = _time_train_scan(
+        step, state, (imgs, gt_boxes, gt_labels, gt_masks), n_steps,
+        pick=lambda m: m["rpn_cls"])  # monotone term; total spikes on
+    # proposal turnover (see tests/test_convergence2.py::test_maskrcnn_loss_falls)
+    assert np.isfinite(last) and last < first, f"rpn_cls {first}->{last}"
+    return (f"{sec * 1e3:.1f} ms/step ({batch / sec:,.0f} img/s; "
+            f"rpn_cls {first:.2f}->{last:.2f})")
+
+
+@check("ReID feature-extraction throughput (eval fwd, 288x144)")
+def check_reid_extract(heavy: bool = False, batch=128, hw=(288, 144),
+                       arch="resnet50", class_num=395, n_iter=20,
+                       min_ips=100.0):
+    """The retrieval serving path (reference ext_feat, reid_tools.py:43-64):
+    eval-mode EmbedNet2 forward to L2-normed features, LICM-proofed loop."""
+    if not heavy:
+        return "skipped (needs --heavy)"
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.part.part_model import EmbedNet2
+
+    model = EmbedNet2(class_num=class_num, arch=arch)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, *hw, 3)).astype(np.float32))
+    probe = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xRGB=probe, xIR=probe,
+                           xZ=probe, modal=0, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    @jax.jit
+    def extract_n(v, x):
+        def body(i, carry):
+            acc, eps = carry
+            feat = model.apply(v, xRGB=x + eps, modal=1)[1]
+            s = feat.sum()
+            return acc + s, s * 1e-12  # data dependence defeats LICM
+        acc, _ = jax.lax.fori_loop(
+            0, n_iter, body,
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)))
+        return acc
+
+    float(extract_n(variables, x))  # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(extract_n(variables, x))
+        best = min(best, time.perf_counter() - t0)
+    ips = batch * n_iter / best
+    assert ips > min_ips, f"extraction collapsed: {ips}"
+    return f"{ips:,.0f} img/s (batch {batch}, L2-normed features)"
+
+
+HEAVY_CHECKS = [check_reid_step, check_reid_step_bf16,
+                check_adaptive_deep_step, check_stargan_step,
+                check_ssd_step, check_maskrcnn_step, check_reid_extract]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--fast", action="store_true",
                    help="skip the slow full-size sampling check")
+    p.add_argument("--heavy", action="store_true",
+                   help="run ONLY the heavy ReID/GAN/detection trainer checks"
+                        " (big one-off remote compiles; cached re-runs are fast)")
     args = p.parse_args()
 
     import jax
 
     print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
-    checks = [check_quantize, check_flash_attention, check_abn,
-              check_incremental, check_bench, check_train_step,
-              check_grad_accum, check_stage2_step, check_sampling_rate,
-              check_bottom_sampling_rate, check_e2e_generation]
+    if args.heavy:
+        checks = HEAVY_CHECKS
+    else:
+        checks = [check_quantize, check_flash_attention, check_abn,
+                  check_incremental, check_bench, check_train_step,
+                  check_grad_accum, check_stage2_step, check_sampling_rate,
+                  check_bottom_sampling_rate, check_e2e_generation]
     failed = 0
     for fn in checks:
         name = fn._check_name
         try:
-            kwargs = {"fast": args.fast} if "fast" in fn.__code__.co_varnames else {}
+            varnames = fn.__code__.co_varnames[:fn.__code__.co_argcount]
+            kwargs = {}
+            if "fast" in varnames:
+                kwargs["fast"] = args.fast
+            if "heavy" in varnames:
+                kwargs["heavy"] = args.heavy
             t0 = time.perf_counter()
             msg = fn(**kwargs)
             print(f"PASS  {name}: {msg} ({time.perf_counter()-t0:.1f}s)",

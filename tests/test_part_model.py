@@ -79,3 +79,40 @@ def test_embed_net2_forward(rng):
     f1, f2 = model.apply(variables, xRGB=rgb, modal=1)
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(f2, axis=1)), 1.0,
                                rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_reid_train_step_bf16(rng):
+    """--bf16 path of train/reid.py: bf16 model compute, fp32 params and
+    losses, finite metrics after one optimizer step."""
+    import optax
+
+    from vqvae2_tpu.train.reid import ReidState, make_train_step
+
+    n_ids, num_pos, hw = 2, 2, (96, 48)
+    n = n_ids * num_pos
+    model = EmbedNet2(class_num=4, arch="resnet18", dtype=jnp.bfloat16)
+    mk = lambda: jnp.asarray(rng.normal(size=(n, *hw, 3)), jnp.float32)
+    batch = {"rgb": mk(), "ir": mk(), "gray": mk(),
+             "label": jnp.asarray(np.repeat(np.arange(n_ids), num_pos)
+                                  .astype(np.int32)),
+             "part1": jnp.asarray(rng.integers(0, 7, size=(n, *hw))
+                                  .astype(np.int32)),
+             "part2": jnp.asarray(rng.integers(0, 7, size=(n, *hw))
+                                  .astype(np.int32))}
+    probe = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xRGB=probe, xIR=probe,
+                           xZ=probe, modal=0, train=True)
+    tx = optax.sgd(1e-2)
+    state = ReidState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables["batch_stats"],
+                      opt_state=tx.init(variables["params"]))
+    step = make_train_step(model, tx, num_pos, n_ids, hw)
+    state, metrics = step(state, batch,
+                          jax.random.key(1, impl="unsafe_rbg"))
+    for k, v in metrics.items():
+        assert v.dtype == jnp.float32 and np.isfinite(float(v)), (k, v)
+    # params never leave fp32 (bf16 is compute-only)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)

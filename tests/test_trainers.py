@@ -45,12 +45,16 @@ def test_reid_trainer_one_step(tiny_sysu, tmp_path):
         "--img_w", "24", "--log_every", "1",
         "--sample_dir", str(tmp_path), "--sample_every", "2",
         "--eval_every", "1", "--eval_path", str(raw),
+        "--metrics_csv", str(tmp_path / "loss.csv"),
+        "--map_csv", str(tmp_path / "map.csv"),
     ])
     m = reid.train(args)
     for k in ("loss", "id", "tri", "part", "unsup", "c2g"):
         assert np.isfinite(m[k]), f"{k} not finite: {m}"
     assert list(tmp_path.glob("part_*.png")), "part-parsing grid not dumped"
     assert "mAP" in m and 0.0 <= m["mAP"] <= 1.0
+    assert "loss" in (tmp_path / "loss.csv").read_text().splitlines()[0]
+    assert "mAP" in (tmp_path / "map.csv").read_text().splitlines()[0]
 
 
 @pytest.mark.slow

@@ -187,11 +187,12 @@ def validate(model, variables, data_path: str, mode: str = "all",
 
     @jax.jit
     def fwd_rgb(imgs):
-        return model.apply(variables, xRGB=imgs, modal=1)[1]
+        # fp32 on the host side even when the model computes in bf16
+        return model.apply(variables, xRGB=imgs, modal=1)[1].astype(jnp.float32)
 
     @jax.jit
     def fwd_ir(imgs):
-        return model.apply(variables, xIR=imgs, modal=2)[1]
+        return model.apply(variables, xIR=imgs, modal=2)[1].astype(jnp.float32)
 
     def extract(files, labels, cams, modal):
         td = TestData(files, labels, cams, img_size=img_size)

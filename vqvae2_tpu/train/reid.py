@@ -33,6 +33,7 @@ from vqvae2_tpu.data.sysu import SYSUData
 from vqvae2_tpu.part import criterion as C
 from vqvae2_tpu.part.part_model import EmbedNet2
 from vqvae2_tpu.utils.checkpoint import CheckpointManager
+from vqvae2_tpu.utils.metrics import CsvLogger
 from vqvae2_tpu.utils.schedules import multi_step_lr
 
 IMG_H, IMG_W = 288, 144
@@ -80,6 +81,9 @@ def make_train_step(model: EmbedNet2, tx, num_pos: int, batch_ids: int,
             modal=0, train=True, mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
+        # bf16 compute stops at the model boundary: losses (CE, triplet
+        # margins, InfoNCE logits) run in fp32 regardless of model dtype
+        out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
         (feat, score, part_preds, _, parts_feat_x3, parts_feat, part_masks,
          parts_score, feats_p, score_p) = out
 
@@ -165,7 +169,7 @@ def make_part_viz_fn(model: EmbedNet2):
     def fwd(params, batch_stats, rgb):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           xRGB=rgb, modal=1, with_feature=True, train=False)
-        fusion = out[2][0][1]  # part_preds = [(parsing, fusion), (edge,)]
+        fusion = out[2][0][1].astype(jnp.float32)  # part_preds = [(parsing, fusion), (edge,)]
         h, w = fusion.shape[1:3]
         small = jax.image.resize(rgb, (rgb.shape[0], h, w, 3), "bilinear")
         return jax.nn.softmax(fusion, axis=-1), small
@@ -246,7 +250,8 @@ def train(args):
     steps_per_epoch = max(len(dataset) // loader_batch, 1)
     total_steps = args.steps or steps_per_epoch * args.epoch
 
-    model = EmbedNet2(class_num=dataset.num_class, arch=args.arch)
+    model = EmbedNet2(class_num=dataset.num_class, arch=args.arch,
+                      dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     tx = make_optimizer(args.lr_F, steps_per_epoch)
 
     img_hw = dataset.train_color_image.shape[1:3]
@@ -273,6 +278,8 @@ def train(args):
     rng = jax.random.key(args.seed + 1, impl="unsafe_rbg")
 
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
+    csv = CsvLogger(args.metrics_csv)
+    map_csv = CsvLogger(args.map_csv)
     n_done, t0, m = 0, time.perf_counter(), {}
     epoch = 0
     while n_done < total_steps:
@@ -289,6 +296,7 @@ def train(args):
                 print(f"step {n_done}/{total_steps} loss {m['loss']:.3f} "
                       f"id {m['id']:.3f} tri {m['tri']:.3f} part {m['part']:.3f} "
                       f"acc {m['acc']:.3f} ({rate:.1f} img/s)", flush=True)
+                csv.log(n_done, dict(m, img_per_s=rate))
             if (viz_fn is not None and n_done % args.sample_every == 0
                     and par.is_primary()):
                 dump_part_samples(viz_fn, state, batch,
@@ -306,6 +314,7 @@ def train(args):
                            args.eval_path, img_size=(img_hw[1], img_hw[0]),
                            trials=args.eval_trials)
             m["mAP"] = mAP
+            map_csv.log(n_done, {"epoch": epoch, "mAP": mAP})
             if ckpt and ckpt.save_best(mAP, state):
                 print(f"epoch {epoch}: new best mAP {mAP:.4f}", flush=True)
     if ckpt:
@@ -338,6 +347,13 @@ def build_argparser():
     p.add_argument("--eval_path", type=str, default="",
                    help="raw SYSU-MM01 root (cam1..cam6 + exp/test_id.txt)")
     p.add_argument("--eval_trials", type=int, default=1)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv/matmul compute (fp32 params, fp32 "
+                        "losses and BN statistics)")
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-step scalar metrics to this CSV")
+    p.add_argument("--map_csv", type=str, default="",
+                   help="append per-validation (epoch, mAP) rows to this CSV")
     return p
 
 
