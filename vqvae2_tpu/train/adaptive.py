@@ -185,6 +185,9 @@ def train(args):
     rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
 
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, m, t0 = 0, {}, time.perf_counter()
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
@@ -204,6 +207,7 @@ def train(args):
                       f"lat {m['latent']:.3f} id_fake {m['id_fake']:.3f} "
                       f"reid {m['loss_reid']:.3f} ({rate:.1f} img/s)",
                       flush=True)
+                csv.log(n_done, dict(m, img_per_s=rate))
             if args.sample_every and n_done % args.sample_every == 0 \
                     and par.is_primary():
                 # sample grid: rgb | fake rgb | real ir | fake ir (:125-140)
@@ -239,6 +243,8 @@ def build_argparser():
     p.add_argument("--sample_dir", type=str, default="sample")
     p.add_argument("--sample_every", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

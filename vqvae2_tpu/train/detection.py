@@ -152,6 +152,9 @@ def train(args):
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx, dboxes)
 
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, t0 = 0, time.perf_counter()
     loss = float("nan")
     while n_done < total_steps:
@@ -168,6 +171,7 @@ def train(args):
                 rate = n_done * args.batch_size / (time.perf_counter() - t0)
                 print(f"step {n_done}/{total_steps} loss {loss:.4f} "
                       f"({rate:.1f} img/s)", flush=True)
+                csv.log(n_done, {"loss": loss, "img_per_s": rate})
             if n_done >= total_steps:
                 break
 
@@ -200,6 +204,8 @@ def build_argparser():
     p.add_argument("--viz_dir", type=str, default="",
                    help="dump annotated prediction PNGs during --eval")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

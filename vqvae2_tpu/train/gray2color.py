@@ -141,6 +141,9 @@ def train(args):
     rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
     host_rng = np.random.default_rng(args.seed)
 
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, m = 0, {}
     t0 = time.perf_counter()
     while n_done < total_steps:
@@ -160,6 +163,7 @@ def train(args):
                 print(f"step {n_done}/{total_steps} loss {m['loss']:.4f} "
                       f"recon {m['recon']:.4f} latent {m['latent']:.4f} "
                       f"({rate:.1f} img/s)", flush=True)
+                csv.log(n_done, dict(m, img_per_s=rate))
             if n_done >= total_steps:
                 break
     return m
@@ -178,6 +182,8 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

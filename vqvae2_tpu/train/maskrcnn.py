@@ -240,6 +240,9 @@ def train(args):
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx, anchors)
 
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, t0, m = 0, time.perf_counter(), {}
     while n_done < total_steps:
         for imgs, gt_boxes, gt_labels, _, gt_masks in dataset.batches(
@@ -258,6 +261,7 @@ def train(args):
                       f"rpn {m['rpn_cls']:.3f}/{m['rpn_reg']:.3f} "
                       f"roi {m['roi_cls']:.3f}/{m['roi_reg']:.3f} "
                       f"mask {m['mask']:.3f} ({rate:.1f} img/s)", flush=True)
+                csv.log(n_done, dict(m, img_per_s=rate))
             if n_done >= total_steps:
                 break
 
@@ -290,6 +294,8 @@ def build_argparser():
     p.add_argument("--viz_dir", type=str, default="",
                    help="dump annotated [pred | GT] PNGs during --eval")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

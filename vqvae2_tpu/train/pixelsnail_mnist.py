@@ -106,6 +106,9 @@ def train(args):
     # generation dominates VPU time for per-resblock dropout otherwise
     rng = jax.random.key(args.seed + 1, impl="unsafe_rbg")
     order_rng = np.random.default_rng(args.seed)
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, m, t0 = 0, {}, time.perf_counter()
     while n_done < total_steps:
         order = order_rng.permutation(len(images))
@@ -119,6 +122,7 @@ def train(args):
                 rate = n_done * args.batch / (time.perf_counter() - t0)
                 print(f"step {n_done}/{total_steps} loss {m['loss']:.4f} "
                       f"acc {m['acc']:.4f} ({rate:.1f} img/s)", flush=True)
+                csv.log(n_done, dict(m, img_per_s=rate))
             if n_done >= total_steps:
                 break
     return m
@@ -136,6 +140,8 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_synthetic", type=int, default=512)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

@@ -257,6 +257,9 @@ def train(args):
     rng = jax.random.PRNGKey(args.seed + 2)
     host_rng = np.random.default_rng(args.seed)
 
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, m = 0, {}
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
@@ -280,6 +283,7 @@ def train(args):
                 print(f"step {n_done}/{total_steps} gen {m['loss_gen']:.3f} "
                       f"disc {m['loss_disc']:.3f} reid {m['loss_reid']:.3f} "
                       f"cycle {m['cycle']:.4f} r1 {m['r1']:.4f}", flush=True)
+                csv.log(n_done, m)
             if n_done >= total_steps:
                 break
     return m
@@ -299,6 +303,8 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

@@ -318,7 +318,9 @@ def train(args):
     # hardware-RNG dropout stream (threefry bit generation is VPU-bound;
     # see train/pixelsnail.py)
     rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
+    from vqvae2_tpu.utils.metrics import CsvLogger
 
+    csv = CsvLogger(args.metrics_csv)
     n_done, t0, m = 0, time.perf_counter(), {}
     epoch = 0
     while n_done < total_steps:
@@ -338,6 +340,7 @@ def train(args):
                       f"reid {m['loss_reid']:.3f} gen {m['loss_gen']:.3f} "
                       f"recon {m['recon']:.4f} latent {m['latent']:.4f}",
                       flush=True)
+                csv.log(n_done, m)
             if (sample_fn is not None and n_done % args.sample_every == 0
                     and par.is_primary()):
                 dump_samples(sample_fn, state, batch,
@@ -389,6 +392,8 @@ def build_argparser():
     p.add_argument("--eval_path", type=str, default="",
                    help="raw SYSU-MM01 root (cam1..cam6 + exp/test_id.txt)")
     p.add_argument("--eval_trials", type=int, default=1)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

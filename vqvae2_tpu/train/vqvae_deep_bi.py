@@ -318,6 +318,9 @@ def train(args):
     rng = jax.random.key(args.seed + 2, impl="unsafe_rbg")
     host_rng = np.random.default_rng(args.seed)
 
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, m, t0 = 0, {}, time.perf_counter()
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
@@ -341,6 +344,7 @@ def train(args):
                 print(f"step {n_done}/{total_steps} gen {m['loss_gen']:.3f} "
                       f"reid {m['loss_reid']:.3f} cycle {m['cycle']:.4f} "
                       f"latent {m['latent']:.4f}", flush=True)
+                csv.log(n_done, m)
             if n_done >= total_steps:
                 break
     return m
@@ -359,6 +363,8 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 

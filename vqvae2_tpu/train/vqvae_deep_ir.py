@@ -299,6 +299,9 @@ def train(args):
 
     stage_steps = (args.stage_reconstruction
                    if args.steps else args.stage_reconstruction * steps_per_epoch)
+    from vqvae2_tpu.utils.metrics import CsvLogger
+
+    csv = CsvLogger(args.metrics_csv)
     n_done, m = 0, {}
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
@@ -324,6 +327,7 @@ def train(args):
                 print(f"step {n_done}/{total_steps} [{stage}] "
                       f"gen {m['loss_gen']:.3f} reid {m['loss_reid']:.3f} "
                       f"latent {m['latent']:.4f}", flush=True)
+                csv.log(n_done, m)
             if (sample_fn is not None and n_done % args.sample_every == 0
                     and par.is_primary()):
                 dump_samples(sample_fn, state, batch,
@@ -350,6 +354,8 @@ def build_argparser():
     p.add_argument("--sample_dir", type=str, default="",
                    help="dump sample grids here (reference sample-new/)")
     p.add_argument("--sample_every", type=int, default=500)
+    p.add_argument("--metrics_csv", type=str, default="",
+                   help="append per-log-step scalars to this CSV (loss curves)")
     return p
 
 
