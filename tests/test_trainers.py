@@ -33,6 +33,23 @@ def _make_raw_sysu(root, rng, ids=(1, 2, 3), hw=(48, 24)):
     return root
 
 
+def test_every_trainer_accepts_metrics_csv():
+    """--metrics_csv is a framework-wide contract (loss curves for
+    convergence evidence) — every trainer CLI must take it."""
+    import importlib
+
+    for mod in ("vqvae", "pixelsnail", "pixelsnail_mnist", "reid",
+                "adaptive", "gray2color", "detection", "maskrcnn",
+                "vqvae_deep", "vqvae_deep_bi", "vqvae_deep_ir",
+                "stargan_bi"):
+        m = importlib.import_module(f"vqvae2_tpu.train.{mod}")
+        argv = ["--metrics_csv", "m.csv"]
+        if mod == "pixelsnail":
+            argv = ["codes.vq2"] + argv  # required positional code store
+        args, _ = m.build_argparser().parse_known_args(argv)
+        assert args.metrics_csv == "m.csv", mod
+
+
 @pytest.mark.slow
 def test_reid_trainer_one_step(tiny_sysu, tmp_path):
     from vqvae2_tpu.train import reid
