@@ -598,7 +598,7 @@ def check_adaptive_deep_step(heavy: bool = False, n_ids=4, num_pos=4,
 @check("StarGAN-v2 train step (3 optimizers + R1, 288x144, P4xK4)")
 def check_stargan_step(heavy: bool = False, n_ids=4, num_pos=4,
                        hw=(288, 144), arch="resnet18", class_num=395,
-                       img_size=256, n_steps=4):
+                       img_size=None, n_steps=4):
     """The reference's train_vqvae_deep_bi2.py hot loop: reid + two
     generators + image discriminator with R1 (nested grad)."""
     if not heavy:
@@ -608,8 +608,13 @@ def check_stargan_step(heavy: bool = False, n_ids=4, num_pos=4,
     import optax
 
     from vqvae2_tpu.models.stargan import ModelStarGAN
-    from vqvae2_tpu.train.stargan_bi import GanState, _split, make_train_step
+    from vqvae2_tpu.train.stargan_bi import (GanState, _generator_img_size,
+                                             _split, make_train_step)
 
+    if img_size is None:
+        # mirror the trainer: the hourglass must divide the image geometry
+        # exactly (128 at SYSU 288x144, the reference's Generator(256//2))
+        img_size = _generator_img_size(*hw)
     rng = np.random.default_rng(0)
     b = _sysu_like_batch(rng, n_ids, num_pos, hw)
     gray = jnp.repeat(jnp.mean(b["rgb"], axis=-1, keepdims=True), 3, axis=-1)
@@ -794,6 +799,9 @@ def main():
     p.add_argument("--heavy", action="store_true",
                    help="run ONLY the heavy ReID/GAN/detection trainer checks"
                         " (big one-off remote compiles; cached re-runs are fast)")
+    p.add_argument("--only", default="",
+                   help="comma-separated case-insensitive substrings; run only"
+                        " checks whose name matches one (e.g. --only stargan)")
     args = p.parse_args()
 
     import jax
@@ -806,6 +814,11 @@ def main():
                   check_incremental, check_bench, check_train_step,
                   check_grad_accum, check_stage2_step, check_sampling_rate,
                   check_bottom_sampling_rate, check_e2e_generation]
+    if args.only:
+        pats = [s.strip().lower() for s in args.only.split(",") if s.strip()]
+        checks = [fn for fn in checks
+                  if any(pat in fn._check_name.lower() for pat in pats)]
+        print(f"--only {args.only!r}: {len(checks)} checks", flush=True)
     failed = 0
     for fn in checks:
         name = fn._check_name

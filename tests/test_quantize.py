@@ -173,3 +173,20 @@ def test_nearest_code_spmd_row_sharding(rng):
     ids = jax.jit(lambda f_, e_: qz._nearest_code_pallas_ids_spmd(
         f_, e_, 128, True))(fs, es)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ridx))
+
+
+def test_vmem_block_cap():
+    from vqvae2_tpu.ops.quantize import _vmem_block_cap
+
+    # flagship config keeps the full tile (bench-path perf unchanged)
+    assert _vmem_block_cap(64, 512) == 2048
+    # deep config (d=256) overflowed the 16 MB scoped-VMEM stack at 2048
+    # (measured 19.14 MB on v5e); the cap must shrink the tile
+    assert _vmem_block_cap(256, 512) <= 1024
+    # modeled footprint stays under the 16 MB hardware limit everywhere
+    for d in (32, 64, 128, 256, 512):
+        for k in (256, 512, 1024):
+            b = _vmem_block_cap(d, k)
+            per_row = 16 * d + 6 * k + 6 * d + 32
+            assert b * per_row + 14 * k * d + 8 * k < 16 * 2 ** 20, (d, k, b)
+            assert b >= 8

@@ -92,3 +92,28 @@ def test_discriminator_and_r1_grad(rng):
 
     g = jax.grad(dsum)(x)
     assert g.shape == x.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_generator_rejects_indivisible_geometry(rng):
+    # 5 stride-2 stages (img_size=256, w_hpf=1) cannot invert W=144:
+    # SAME floors 9 -> 4 going down and comes back as 128. Must fail loudly.
+    g = Generator(img_size=256, style_dim=32, w_hpf=1, out_channel=1)
+    x = jnp.zeros((1, 288, 144, 3), jnp.float32)
+    s = jnp.zeros((1, 32), jnp.float32)
+    with pytest.raises(ValueError, match="divisible by 32"):
+        g.init(jax.random.PRNGKey(0), x, s)
+
+
+def test_trainer_img_size_divides_geometry():
+    from vqvae2_tpu.train.stargan_bi import _generator_img_size
+
+    # SYSU geometry: the reference hardcodes Generator(256//2)
+    assert _generator_img_size(288, 144) == 128
+    # power-of-two squares keep the reference-default size
+    assert _generator_img_size(256, 256) == 256
+    assert _generator_img_size(64, 64) == 64
+    # every choice must satisfy the Generator's divisibility constraint
+    for h, w in [(288, 144), (256, 128), (256, 256), (64, 64), (96, 48)]:
+        size = _generator_img_size(h, w)
+        div = 1 << (int(np.log2(size)) - 3)  # w_hpf=1 stage count
+        assert h % div == 0 and w % div == 0, (h, w, size)

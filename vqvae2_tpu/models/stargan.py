@@ -140,6 +140,16 @@ class Generator(nn.Module):
         if self.w_hpf > 0:
             repeat_num += 1
 
+        div = 1 << repeat_num
+        if x.shape[1] % div or x.shape[2] % div:
+            # Stride-2 SAME floors the odd side going down and ×2 upsampling
+            # cannot recover it, so the output silently comes back the wrong
+            # size (e.g. 144 → 128 over 5 stages). Fail at trace time instead.
+            raise ValueError(
+                f"Generator(img_size={self.img_size}) runs {repeat_num} "
+                f"stride-2 stages; input {x.shape[1]}x{x.shape[2]} must be "
+                f"divisible by {div} (use a smaller img_size)")
+
         dims = [dim_in]
         for _ in range(repeat_num):
             dims.append(min(dims[-1] * 2, self.max_conv_dim))
@@ -261,16 +271,28 @@ class ModelStarGAN(nn.Module):
     feat_d: int = 2048
     arch: str = "resnet18"
     img_size: int = 128
+    remat: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
         from vqvae2_tpu.models.embed_net import EmbedNet
 
+        # The hourglass runs 2**14/img_size channels at FULL input resolution
+        # (2.7 GB per from_rgb tensor at SYSU 288x144, b16, img_size=128) and
+        # the generator objective differentiates through FOUR such passes
+        # (g2i, i2g and both cycles) — saving those activations for the
+        # backward exceeds one v5e's 16 GB HBM.  Rematerialize: only each
+        # pass's (small, full-res 3-channel) inputs/outputs are saved and the
+        # interiors are recomputed in the backward — the classic TPU
+        # FLOPs-for-HBM trade (conv recompute is cheap next to the saved
+        # round-trips).
+        Gen = nn.remat(Generator) if self.remat else Generator
+        Disc = nn.remat(DiscriminatorV2) if self.remat else DiscriminatorV2
         self.person_id = EmbedNet(self.class_num, arch=self.arch)
         self.mapping = MappingNetwork(512, 2)
-        self.adaptor1 = Generator(self.img_size, 512, dtype=self.dtype)
-        self.adaptor2 = Generator(self.img_size, 512, dtype=self.dtype)
-        self.discriminator = DiscriminatorV2(self.img_size, 2, dtype=self.dtype)
+        self.adaptor1 = Gen(self.img_size, 512, dtype=self.dtype)
+        self.adaptor2 = Gen(self.img_size, 512, dtype=self.dtype)
+        self.discriminator = Disc(self.img_size, 2, dtype=self.dtype)
 
     def encode_person(self, rgb: jax.Array, train: bool = False):
         return self.person_id(xRGB=rgb, modal=1, with_feature=True, train=train)

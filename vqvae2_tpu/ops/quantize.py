@@ -38,6 +38,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _vmem_block_cap(d: int, k: int, block_n: int = 2048) -> int:
+    """Largest power-of-two row tile that keeps the kernel's scoped-VMEM
+    footprint under budget.
+
+    The default 2048-row tile was sized for the flagship ``d=64`` codebook;
+    at the deep config (``d=256``) it overflows the 16 MB scoped-VMEM stack
+    (observed: 19.14 MB at block 2048, d=256, k=512 — the stats flavor holds
+    the double-buffered x/q row blocks, the (TN, K) score and one-hot tiles,
+    and the 3-chunk bf16 splits of x for the exact esum matmul).  Model those
+    per-row bytes against a 12 MB budget (headroom for layout padding) and
+    halve the tile until it fits; d=64 keeps the full 2048 tile.
+    """
+    per_row = 8 * d + 8 * d + 4 * k + 2 * k + 6 * d + 32
+    fixed = 14 * k * d + 8 * k
+    budget = 12 * 2 ** 20 - fixed
+    while block_n > 8 and block_n * per_row > budget:
+        block_n //= 2
+    return max(block_n, 8)
+
+
 # ---------------------------------------------------------------------------
 # XLA reference path (also the CPU/GPU fallback and the ground truth in tests)
 # ---------------------------------------------------------------------------
@@ -267,6 +287,7 @@ def nearest_code_ids(flat: jax.Array, embed: jax.Array,
         raise ValueError(f"bad shapes {flat.shape} vs {embed.shape}")
     if jax.default_backend() == "tpu":
         n = flat.shape[0]
+        block_n = _vmem_block_cap(flat.shape[1], embed.shape[0], block_n)
         eff_block = block_n if n >= block_n else _round_up(max(n, 8), 8)
         return jax.lax.stop_gradient(
             _nearest_code_pallas_ids_spmd(flat, embed, eff_block, False))
@@ -456,8 +477,10 @@ def nearest_code(
         raise ValueError(f"bad shapes {flat.shape} vs {embed.shape}")
     if jax.default_backend() == "tpu":
         # adapt the row tile to the input so small feature maps don't pay a
-        # 2048-row pad (e.g. a 16x16 top grid at batch 2 is 512 rows)
+        # 2048-row pad (e.g. a 16x16 top grid at batch 2 is 512 rows), and
+        # cap it so wide codebooks (deep config d=256) fit in scoped VMEM
         n = flat.shape[0]
+        block_n = _vmem_block_cap(flat.shape[1], embed.shape[0], block_n)
         eff_block = block_n if n >= block_n else _round_up(max(n, 8), 8)
         if with_stats:
             return _nearest_code_pallas_nograd(flat, embed, eff_block)

@@ -44,6 +44,20 @@ def adv_loss(logits: jax.Array, target: int) -> jax.Array:
     return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, t))
 
 
+def _generator_img_size(h: int, w: int) -> int:
+    """Largest ``img_size`` whose hourglass divides (h, w) exactly.
+
+    The Generator with ``w_hpf=1`` runs ``log2(img_size) - 3`` stride-2
+    stages, so both sides must be divisible by ``2**(log2(img_size) - 3)``
+    or the decoder returns a wrong-width image (stride-2 SAME floors the odd
+    side on the way down and doubling misses it on the way up).  At SYSU
+    geometry (288×144) this picks 128 — exactly the reference's hardcoded
+    ``Generator(256//2)`` (starGAN/model.py:318-319).
+    """
+    twos = min((h & -h).bit_length(), (w & -w).bit_length()) - 1
+    return min(1 << int(np.log2(max(h, w))), 1 << (twos + 3))
+
+
 class GanState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -226,7 +240,7 @@ def train(args):
 
     h, w = dataset.train_color_image.shape[1:3]
     model = ModelStarGAN(class_num=dataset.num_class, arch=args.arch,
-                         img_size=1 << int(np.log2(max(h, w))))
+                         img_size=_generator_img_size(h, w))
     tx_reid = optax.sgd(args.lr_F, momentum=0.9, nesterov=True)
     tx_gen = optax.adam(args.lr)
     tx_disc = optax.adam(args.lr_disc)
