@@ -7,7 +7,11 @@ Usage: python scripts/tpu_checks.py [--fast] [--heavy]
 
 --heavy runs ONLY the ReID / adaptation / GAN / detection trainer
 checks (big one-off remote compiles; the persistent compile cache
-makes re-runs load from disk).  tests/test_tpu_checks_heavy.py
+makes re-runs load from disk).  Each heavy check runs in its own
+subprocess so the chip's HBM starts clean per trainer graph
+(back-to-back in one process the runtime kept the previous trainer's
+buffers live and the StarGAN check OOM'd); --no-isolate opts out.
+tests/test_tpu_checks_heavy.py
 executes the same check bodies at tiny configs on CPU (opt-in
 `-m heavy_smoke`, 5-15 min each) so a typo never costs a
 30-minute TPU compile.
@@ -792,6 +796,26 @@ HEAVY_CHECKS = [check_reid_step, check_reid_step_bf16,
                 check_ssd_step, check_maskrcnn_step, check_reid_extract]
 
 
+def _run_check(fn, args):
+    """Run one check in-process and print its PASS/FAIL line. Returns 0/1."""
+    name = fn._check_name
+    try:
+        varnames = fn.__code__.co_varnames[:fn.__code__.co_argcount]
+        kwargs = {}
+        if "fast" in varnames:
+            kwargs["fast"] = args.fast
+        if "heavy" in varnames:
+            kwargs["heavy"] = args.heavy
+        t0 = time.perf_counter()
+        msg = fn(**kwargs)
+        print(f"PASS  {name}: {msg} ({time.perf_counter()-t0:.1f}s)",
+              flush=True)
+        return 0
+    except Exception as e:
+        print(f"FAIL  {name}: {e!r}", flush=True)
+        return 1
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--fast", action="store_true",
@@ -802,40 +826,56 @@ def main():
     p.add_argument("--only", default="",
                    help="comma-separated case-insensitive substrings; run only"
                         " checks whose name matches one (e.g. --only stargan)")
+    p.add_argument("--no-isolate", action="store_true",
+                   help="run heavy checks in-process instead of one subprocess"
+                        " each (isolation frees HBM between trainer graphs;"
+                        " without it back-to-back checks can OOM the chip)")
+    p.add_argument("--run-one", default="", help=argparse.SUPPRESS)
     args = p.parse_args()
+
+    fast_checks = [check_quantize, check_flash_attention, check_abn,
+                   check_incremental, check_bench, check_train_step,
+                   check_grad_accum, check_stage2_step, check_sampling_rate,
+                   check_bottom_sampling_rate, check_e2e_generation]
+
+    if args.run_one:  # child process: dispatch by function name, no banner
+        by_name = {f.__name__: f for f in fast_checks + HEAVY_CHECKS}
+        sys.exit(_run_check(by_name[args.run_one], args))
 
     import jax
 
     print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
-    if args.heavy:
-        checks = HEAVY_CHECKS
-    else:
-        checks = [check_quantize, check_flash_attention, check_abn,
-                  check_incremental, check_bench, check_train_step,
-                  check_grad_accum, check_stage2_step, check_sampling_rate,
-                  check_bottom_sampling_rate, check_e2e_generation]
+    checks = HEAVY_CHECKS if args.heavy else fast_checks
     if args.only:
         pats = [s.strip().lower() for s in args.only.split(",") if s.strip()]
         checks = [fn for fn in checks
                   if any(pat in fn._check_name.lower() for pat in pats)]
         print(f"--only {args.only!r}: {len(checks)} checks", flush=True)
+
+    # Heavy trainer graphs each hold multi-GB HBM working sets; the runtime
+    # does not reliably return that memory between jit programs in one
+    # process (observed: StarGAN RESOURCE_EXHAUSTED when run right after the
+    # deep-adaptive check).  Run each heavy check in its own subprocess so
+    # the chip starts clean; the persistent compile cache keeps re-runs fast.
+    isolate = args.heavy and not args.no_isolate and len(checks) > 1
     failed = 0
     for fn in checks:
-        name = fn._check_name
-        try:
-            varnames = fn.__code__.co_varnames[:fn.__code__.co_argcount]
-            kwargs = {}
-            if "fast" in varnames:
-                kwargs["fast"] = args.fast
-            if "heavy" in varnames:
-                kwargs["heavy"] = args.heavy
-            t0 = time.perf_counter()
-            msg = fn(**kwargs)
-            print(f"PASS  {name}: {msg} ({time.perf_counter()-t0:.1f}s)",
-                  flush=True)
-        except Exception as e:
-            failed += 1
-            print(f"FAIL  {name}: {e!r}", flush=True)
+        if isolate:
+            import subprocess
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--run-one", fn.__name__]
+            if args.fast:
+                cmd.append("--fast")
+            if args.heavy:
+                cmd.append("--heavy")
+            rc = subprocess.run(cmd).returncode
+            if rc != 0:
+                failed += 1
+                if rc != 1:  # hard crash: the child printed no FAIL line
+                    print(f"FAIL  {fn._check_name}: subprocess exited {rc}",
+                          flush=True)
+        else:
+            failed += _run_check(fn, args)
     sys.exit(1 if failed else 0)
 
 

@@ -71,3 +71,32 @@ def test_heavy_checks_skipped_by_default():
     # without --heavy every heavy check must be a cheap no-op
     for fn in tpu_checks.HEAVY_CHECKS:
         assert "skipped" in fn(heavy=False)
+
+
+def test_run_one_dispatch_cli():
+    # --run-one dispatches by function name in a child process without
+    # importing jax (the heavy check skips before any device work)
+    import subprocess
+    import sys
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "tpu_checks.py")
+    out = subprocess.run(
+        [sys.executable, script, "--run-one", "check_ssd_step"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "skipped (needs --heavy)" in out.stdout
+
+
+def test_heavy_isolation_cli_no_match():
+    # the isolation loop itself: --heavy with a non-matching --only filter
+    # exits 0 after spawning zero subprocesses (CPU platform for the child)
+    import subprocess
+    import sys
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "tpu_checks.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, script, "--heavy", "--only", "no-such-check"],
+        capture_output=True, text=True, env=env)
+    assert out.returncode == 0, out.stderr
+    assert "0 checks" in out.stdout

@@ -49,16 +49,18 @@ def test_bi_trainer_one_step(tiny_sysu):
 
 
 @pytest.mark.slow
-def test_stargan_bi_trainer_one_step(tiny_sysu_sq):
+def test_stargan_bi_trainer_one_step(tiny_sysu_sq, tmp_path):
     from vqvae2_tpu.train import stargan_bi
 
     args = stargan_bi.build_argparser().parse_args([
         "--path", tiny_sysu_sq, "--steps", "2", "--batch_size", "2",
         "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
+        "--sample_dir", str(tmp_path), "--sample_every", "2",
     ])
     m = stargan_bi.train(args)
     for k in ("cycle", "loss_gen", "loss_disc", "loss_reid", "r1"):
         assert np.isfinite(m[k]), f"{k} not finite: {m}"
+    assert (tmp_path / "00002.png").exists()  # translation grid dumped
 
 
 @pytest.mark.slow

@@ -231,6 +231,43 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
     return train_step
 
 
+def make_sample_fn(model: ModelStarGAN):
+    """Eval-mode translation pass for sample grids: style features from the
+    un-augmented pair (BN running stats, no mutation), then both generators."""
+
+    def e3(x):
+        return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+    @jax.jit
+    def sample(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def fwd(m):
+            feat, *_ = m.person_id(xRGB=batch["gray"], xIR=batch["ir"],
+                                   modal=0, with_feature=True, train=False)
+            fv, fi = jnp.split(feat, 2, axis=0)
+            return (e3(m.gen_1(batch["gray"], fi)),
+                    e3(m.gen_2(batch["ir"], fv)))
+
+        return model.apply(variables, method=lambda m: fwd(m))
+
+    return sample
+
+
+def dump_samples(sample_fn, state: GanState, batch, path: str,
+                 max_rows: int = 8) -> None:
+    """Grid rows = [gray input, gray→IR, real IR, IR→gray] — the translation
+    panel of reference ``train_vqvae_deep_bi2.py`` (its per-epoch image dump)."""
+    from vqvae2_tpu.utils.image import save_image
+
+    g2i, i2g = sample_fn(state.params, state.batch_stats, batch)
+    k = min(int(batch["ir"].shape[0]), max_rows)
+    take = lambda x: np.asarray(x)[:k]
+    grid = np.concatenate([take(batch["gray"]), take(g2i),
+                           take(batch["ir"]), take(i2g)], axis=0)
+    save_image(grid, path, nrow=k)
+
+
 def train(args):
     mesh = par.default_mesh()
     dataset = SYSUData(args.path, part=False, seed=args.seed)
@@ -268,6 +305,7 @@ def train(args):
                      opt_disc=tx_disc.init(disc_params))
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx_reid, tx_gen, tx_disc, args.num_pos)
+    sample_fn = make_sample_fn(model) if args.sample_dir else None
     rng = jax.random.PRNGKey(args.seed + 2)
     host_rng = np.random.default_rng(args.seed)
 
@@ -298,6 +336,10 @@ def train(args):
                       f"disc {m['loss_disc']:.3f} reid {m['loss_reid']:.3f} "
                       f"cycle {m['cycle']:.4f} r1 {m['r1']:.4f}", flush=True)
                 csv.log(n_done, m)
+            if (sample_fn is not None and n_done % args.sample_every == 0
+                    and par.is_primary()):
+                dump_samples(sample_fn, state, batch,
+                             f"{args.sample_dir}/{n_done:05d}.png")
             if n_done >= total_steps:
                 break
     return m
@@ -317,6 +359,9 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--sample_dir", type=str, default="",
+                   help="dump [gray, gray→IR, IR, IR→gray] grids here")
+    p.add_argument("--sample_every", type=int, default=500)
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
     return p
