@@ -75,15 +75,17 @@ def test_reid_trainer_one_step(tiny_sysu, tmp_path):
 
 
 @pytest.mark.slow
-def test_gray2color_trainer_one_step(tiny_sysu):
+def test_gray2color_trainer_one_step(tiny_sysu, tmp_path):
     from vqvae2_tpu.train import gray2color
 
     args = gray2color.build_argparser().parse_args([
         "--path", tiny_sysu, "--steps", "2", "--batch_size", "2",
         "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
+        "--sample_dir", str(tmp_path), "--sample_every", "2",
     ])
     m = gray2color.train(args)
     assert np.isfinite(m["loss"]) and np.isfinite(m["latent"])
+    assert (tmp_path / "00002.png").exists()  # colorization grid dumped
 
 
 @pytest.mark.slow

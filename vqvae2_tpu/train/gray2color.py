@@ -73,7 +73,8 @@ def make_train_step(model: ModelAdaptive, tx):
         recon_feat = mse(gray_itself, rgb_content) + mse(gray_other, rgb_content)
         loss = recon_feat + recon + LATENT_LOSS_WEIGHT * latent
         return loss, ({"loss": loss, "recon": recon, "recon_feat": recon_feat,
-                       "latent": latent}, new_vars)
+                       "latent": latent}, new_vars,
+                      (rgb_reconst, rgb_fake, rgb_fake_other))
 
     # Donate the state: params/opt/EMA buffers are rewritten in place,
     # halving peak HBM for the step (XLA aliases in->out buffers).
@@ -81,14 +82,14 @@ def make_train_step(model: ModelAdaptive, tx):
     def train_step(state: G2CState, batch, ids, rng):
         rng = jax.random.fold_in(rng, state.step)
         cols = {"batch_stats": state.batch_stats, "vq_stats": state.vq_stats}
-        (loss, (metrics, new_vars)), grads = jax.value_and_grad(
+        (loss, (metrics, new_vars, images)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, cols, batch, ids, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(
             step=state.step + 1, params=params,
             batch_stats=new_vars["batch_stats"], vq_stats=new_vars["vq_stats"],
-            opt_state=opt_state), metrics
+            opt_state=opt_state), (metrics, images)
 
     return train_step
 
@@ -149,13 +150,12 @@ def train(args):
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
         for rows in epoch_row_batches(dataset, loader_batch):
-            batch = par.shard_batch({
-                "rgb": np.stack([r[0] for r in rows]),
-                "ir": np.stack([r[1] for r in rows]),
-            }, mesh)
+            imgs1 = np.stack([r[0] for r in rows])
+            imgs2 = np.stack([r[1] for r in rows])
+            batch = par.shard_batch({"rgb": imgs1, "ir": imgs2}, mesh)
             ids = jnp.asarray(other_instance_ids(args.batch_size, args.num_pos,
                                                  host_rng))
-            state, metrics = step_fn(state, batch, ids, rng)
+            state, (metrics, images) = step_fn(state, batch, ids, rng)
             n_done += 1
             if n_done % args.log_every == 0 and par.is_primary():
                 m = par.reduce_dict(metrics)
@@ -164,6 +164,19 @@ def train(args):
                       f"recon {m['recon']:.4f} latent {m['latent']:.4f} "
                       f"({rate:.1f} img/s)", flush=True)
                 csv.log(n_done, dict(m, img_per_s=rate))
+            if args.sample_every and n_done % args.sample_every == 0 \
+                    and par.is_primary():
+                # grid: rgb | ir | rgb recon | colorized | colorized w/ the
+                # other instance's style (reference train_gray2color.py's
+                # per-epoch dump of reconst/fake/fake2)
+                from vqvae2_tpu.utils.image import save_image
+
+                rec, fake, fake2 = (np.asarray(x) for x in images)
+                k = min(8, len(imgs1))
+                grid = np.concatenate([imgs1[:k], imgs2[:k], rec[:k],
+                                       fake[:k], fake2[:k]], axis=0)
+                save_image(grid, f"{args.sample_dir}/{n_done:05d}.png", nrow=k,
+                           value_range=(-2.0, 2.0))
             if n_done >= total_steps:
                 break
     return m
@@ -182,6 +195,10 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--sample_dir", type=str, default="sample")
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="dump [rgb|ir|recon|colorized|colorized-other] grids"
+                        " every N steps (0 = off)")
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
     return p
