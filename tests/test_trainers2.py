@@ -23,11 +23,11 @@ def tiny_sysu_sq(tmp_path_factory):
 
 
 @pytest.mark.slow
-def test_adaptive_trainer_one_step(tiny_sysu):
+def test_adaptive_trainer_one_step(tiny_sysu, forbid_replication):
     from vqvae2_tpu.train import adaptive
 
     args = adaptive.build_argparser().parse_args([
-        "--path", tiny_sysu, "--steps", "2", "--batch_size", "2",
+        "--path", tiny_sysu, "--steps", "2", "--batch_size", "4",
         "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
     ])
     m = adaptive.train(args)
@@ -36,11 +36,11 @@ def test_adaptive_trainer_one_step(tiny_sysu):
 
 
 @pytest.mark.slow
-def test_bi_trainer_one_step(tiny_sysu):
+def test_bi_trainer_one_step(tiny_sysu, forbid_replication):
     from vqvae2_tpu.train import vqvae_deep_bi
 
     args = vqvae_deep_bi.build_argparser().parse_args([
-        "--path", tiny_sysu, "--steps", "2", "--batch_size", "2",
+        "--path", tiny_sysu, "--steps", "2", "--batch_size", "4",
         "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
     ])
     m = vqvae_deep_bi.train(args)
@@ -49,28 +49,35 @@ def test_bi_trainer_one_step(tiny_sysu):
 
 
 @pytest.mark.slow
-def test_stargan_bi_trainer_one_step(tiny_sysu_sq, tmp_path):
+def test_stargan_bi_trainer_one_step(tiny_sysu_sq, tmp_path, forbid_replication):
     from vqvae2_tpu.train import stargan_bi
 
     args = stargan_bi.build_argparser().parse_args([
-        "--path", tiny_sysu_sq, "--steps", "2", "--batch_size", "2",
+        "--path", tiny_sysu_sq, "--steps", "2", "--batch_size", "4",
         "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
         "--sample_dir", str(tmp_path), "--sample_every", "2",
+        "--d_every", "2", "--eval_every", "2",
+        "--map_csv", str(tmp_path / "map.csv"),
     ])
     m = stargan_bi.train(args)
-    for k in ("cycle", "loss_gen", "loss_disc", "loss_reid", "r1"):
+    for k in ("cycle", "loss_gen", "loss_disc", "loss_reid", "r1",
+              "hinge_pos", "hinge_neg"):
         assert np.isfinite(m[k]), f"{k} not finite: {m}"
+    # normalized hinge inputs: centers of unit vectors are O(1) apart
+    assert m["hinge_pos"] < 4.0 and m["hinge_neg"] < 4.0, m
+    assert 0.0 <= m["idpres_map"] <= 1.0, m
     assert (tmp_path / "00002.png").exists()  # translation grid dumped
+    assert (tmp_path / "map.csv").exists()
 
 
 @pytest.mark.slow
-def test_ir_trainer_both_stages(tiny_sysu, tmp_path):
+def test_ir_trainer_both_stages(tiny_sysu, tmp_path, forbid_replication):
     from vqvae2_tpu.train import vqvae_deep_ir
 
     # steps mode: stage_reconstruction counts steps; 1 recon + 1 full
     args = vqvae_deep_ir.build_argparser().parse_args([
         "--path", tiny_sysu, "--steps", "2", "--stage_reconstruction", "1",
-        "--batch_size", "2", "--num_pos", "2", "--arch", "resnet18",
+        "--batch_size", "4", "--num_pos", "2", "--arch", "resnet18",
         "--log_every", "1",
         "--sample_dir", str(tmp_path), "--sample_every", "2",
     ])

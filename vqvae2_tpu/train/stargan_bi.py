@@ -14,6 +14,34 @@ Per batch (reference ``:148-290``):
   id CE + center-margin feature loss + BCE(fake→1)) (``train_cycle_rec``,
   ``:174-218``);
 * **ReID step**: id CE + WRT self-triplets on augmented real views.
+
+Three deliberate deviations from the reference, each fixing a measured
+instability of its adversarial game (round-3 on-chip run: D saturated at BCE
+~1e-4 by step 600, cycle flat at ~2.0 from step 1200, feat hinge 2.1e14 at
+step 8):
+
+1. **Luminance-space discriminator.**  Inputs are ImageNet-normalized
+   per-channel, so a real IR image has three *deterministically different*
+   channels while every fake is a 1-channel generator output repeated ×3
+   (reference ``generateInters``, ``:148-152`` — same ``expand``).  The
+   reference discriminator (``train_d``, ``:154-171``) can therefore win on
+   channel statistics alone, ignoring content.  Here D sees the channel-mean
+   of real images (the same luminance space the cycle targets already live
+   in, ``train_cycle_rec:176-180``), removing the trivial tell.
+2. **Consistent domain heads.**  The reference trains D with fakes on heads
+   ``1-y`` (``train_d``, ``:164-165``) but the generator maximizes realness
+   on heads ``y`` (``train_cycle_rec``, ``:205-208``) — G and D play on
+   *different* output heads, so G's adversarial gradient never opposes what
+   D learned.  Here the generator uses the same ``1-y`` heads D scores
+   fakes on.
+3. **Normalized center-margin features.**  The hinge (``:192-200``) squares
+   raw backbone features; at init these are O(1e3-1e7) per dim and the loss
+   reaches 1e14.  Here the features are L2-normalized first, making
+   pos/neg O(1) at every step (margin unchanged at 0.01).
+
+The D/G balance knobs (``r1_weight``, ``adv_weight``, ``d_every``) enter the
+step as *traced scalars*, so retuning them never recompiles the graph
+(remote TPU compiles of this trainer take tens of minutes).
 """
 
 from __future__ import annotations
@@ -84,7 +112,15 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
     def e3(x):
         return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
 
-    def person_feats(params, cols, batch, train):
+    def lum(x):
+        """Channel-mean ×3 — the luminance space D operates in (deviation #1
+        in the module docstring)."""
+        return jnp.repeat(jnp.mean(x, axis=-1, keepdims=True), 3, axis=-1)
+
+    def l2n(f):
+        return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+
+    def person_feats(params, cols, batch, train, rng):
         variables = {"params": params, **cols}
 
         def fwd(m):
@@ -92,7 +128,8 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
                                modal=0, with_feature=True, train=train)
 
         (feat, score, *_), new_vars = model.apply(
-            variables, method=lambda m: fwd(m), mutable=["batch_stats"])
+            variables, method=lambda m: fwd(m), mutable=["batch_stats"],
+            rngs={"dropout": rng})
         return feat, score, new_vars
 
     def translations(params, cols, gray, ir, featV, featI):
@@ -105,14 +142,17 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
                                     mutable=["batch_stats"])
         return g2i, i2g
 
-    def disc_loss_fn(disc_params, other_params, cols, gray, ir, g2i, i2g):
+    def disc_loss_fn(disc_params, other_params, cols, gray, ir, g2i, i2g,
+                     r1_weight):
         params = {**jax.tree_util.tree_map(jax.lax.stop_gradient, other_params),
                   **disc_params}
         variables = {"params": params, **cols}
         bs = gray.shape[0]
         y = jnp.concatenate([jnp.ones((bs,), jnp.int32),
                              jnp.zeros((bs,), jnp.int32)])
-        x_real = jnp.concatenate([gray, ir], axis=0)
+        # D judges luminance (deviation #1): real images enter channel-mean'd
+        # so the per-channel ImageNet normalization can't give fakes away.
+        x_real = jnp.concatenate([lum(gray), lum(ir)], axis=0)
 
         def d_real_sum(x):
             return jnp.sum(model.apply(variables, x, y,
@@ -120,7 +160,7 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
 
         out_real = model.apply(variables, x_real, y, method=model.discriminate)
         loss_real = adv_loss(out_real, 1)
-        # R1: 0.5·E[‖∇ₓD(x)‖²] (reference r1_reg, :131-141)
+        # R1: 0.5·E[‖∇ₓD(x)‖²] (reference r1_reg, :131-141); weight traced
         grad_x = jax.grad(d_real_sum)(x_real)
         r1 = 0.5 * jnp.mean(jnp.sum(jnp.square(
             grad_x.reshape(2 * bs, -1)), axis=1))
@@ -129,9 +169,11 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
         out_fake = model.apply(variables, x_fake, 1 - y,
                                method=model.discriminate)
         loss_fake = adv_loss(out_fake, 0)
-        return loss_real + loss_fake + r1, (loss_real, loss_fake, r1)
+        return loss_real + loss_fake + r1_weight * r1, (loss_real, loss_fake,
+                                                        r1)
 
-    def gen_loss_fn(gen_params, frozen, cols, batch, featV, featI):
+    def gen_loss_fn(gen_params, frozen, cols, batch, featV, featI, adv_weight,
+                    rng):
         params = {**jax.tree_util.tree_map(jax.lax.stop_gradient, frozen),
                   **gen_params}
         variables = {"params": params, **cols}
@@ -147,12 +189,14 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
                 xRGB=i2g, xIR=g2i, modal=0, with_feature=True, train=False)
             y = jnp.concatenate([jnp.ones((bs,), jnp.int32),
                                  jnp.zeros((bs,), jnp.int32)])
-            d_fake = m.discriminate(jnp.concatenate([g2i, i2g], 0), y)
+            # deviation #2: fool the SAME heads D scores fakes on (1-y) —
+            # the reference's y here never opposes train_d's 1-y.
+            d_fake = m.discriminate(jnp.concatenate([g2i, i2g], 0), 1 - y)
             return g2i, i2g, g2i2g, i2g2i, fake_feat, fake_score, d_fake
 
         (g2i, i2g, g2i2g, i2g2i, fake_feat, fake_score, d_fake), new_vars = \
             model.apply(variables, method=lambda m: fwd(m),
-                        mutable=["batch_stats"])
+                        mutable=["batch_stats"], rngs={"dropout": rng})
 
         gray_t = jnp.mean(gray, -1, keepdims=True).repeat(3, -1)
         ir_t = jnp.mean(ir, -1, keepdims=True).repeat(3, -1)
@@ -160,25 +204,27 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
 
         labels = jnp.concatenate([labels1, labels1], 0)
         loss_id_ir = ce(fake_score, labels)
-        fv, fi = jnp.split(fake_feat, 2, axis=0)
+        # deviation #3: hinge over L2-normalized features — pos/neg O(1)
+        fv, fi = jnp.split(l2n(fake_feat), 2, axis=0)
         n = bs // num_pos
         center = lambda f: f.reshape(n, num_pos, -1).mean(axis=1)
         pos = jnp.mean(jnp.square(center(fv) - center(fi)), axis=1)
         neg = jnp.mean(jnp.square(
-            center(jax.lax.stop_gradient(featV))
-            - center(jax.lax.stop_gradient(featI))), axis=1)
+            center(l2n(jax.lax.stop_gradient(featV)))
+            - center(l2n(jax.lax.stop_gradient(featI)))), axis=1)
         feat_ir = jnp.mean(jnp.maximum(0.0, 0.01 + pos - neg))
         disc_fake = adv_loss(d_fake, 1)
 
-        total = cycle + 0.5 * (loss_id_ir + feat_ir + disc_fake)
+        total = cycle + 0.5 * (loss_id_ir + feat_ir) + adv_weight * disc_fake
         metrics = {"cycle": cycle, "id_ir": loss_id_ir, "feat_ir": feat_ir,
-                   "g_adv": disc_fake}
+                   "g_adv": disc_fake, "hinge_pos": jnp.mean(pos),
+                   "hinge_neg": jnp.mean(neg)}
         return total, (metrics, g2i, i2g)
 
-    def reid_loss_fn(reid_params, frozen, cols, batch):
+    def reid_loss_fn(reid_params, frozen, cols, batch, rng):
         params = {**jax.tree_util.tree_map(jax.lax.stop_gradient, frozen),
                   **reid_params}
-        feat, score, new_vars = person_feats(params, cols, batch, True)
+        feat, score, new_vars = person_feats(params, cols, batch, True, rng)
         labels1 = batch["label"]
         labels = jnp.concatenate([labels1, labels1], 0)
         fv, fi = jnp.split(feat, 2, axis=0)
@@ -188,15 +234,24 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
 
     # Donate the state: params/opt/EMA buffers are rewritten in place,
     # halving peak HBM for the step (XLA aliases in->out buffers).
+    # ``knobs`` (optional) carries traced balance scalars — r1_weight,
+    # adv_weight, d_mask (1.0 = update D this step) — so retuning the D/G
+    # balance reuses the compiled graph.
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: GanState, batch, rng):
+    def train_step(state: GanState, batch, rng, knobs=None):
+        kn = knobs or {}
+        r1_weight = kn.get("r1_weight", 1.0)
+        adv_weight = kn.get("adv_weight", 0.5)
+        d_mask = kn.get("d_mask", 1.0)
+        rng = jax.random.fold_in(rng, state.step)
         reid_params, gen_params, disc_params = _split(state.params)
         cols = {"batch_stats": state.batch_stats}
 
         # reid step (also yields the style features)
         (loss_re, (feat, batch_stats)), reid_grads = jax.value_and_grad(
             reid_loss_fn, has_aux=True)(
-            reid_params, {**gen_params, **disc_params}, cols, batch)
+            reid_params, {**gen_params, **disc_params}, cols, batch,
+            jax.random.fold_in(rng, 0))
         upd, opt_reid = tx_reid.update(reid_grads, state.opt_reid, reid_params)
         reid_params = optax.apply_updates(reid_params, upd)
         featV, featI = jnp.split(jax.lax.stop_gradient(feat), 2, axis=0)
@@ -206,18 +261,24 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
         (loss_g, (metrics, g2i, i2g)), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(
             gen_params, {**reid_params, **disc_params}, cols, batch,
-            featV, featI)
+            featV, featI, adv_weight, jax.random.fold_in(rng, 1))
         upd, opt_gen = tx_gen.update(gen_grads, state.opt_gen, gen_params)
         gen_params = optax.apply_updates(gen_params, upd)
 
-        # discriminator step on detached translations
+        # discriminator step on detached translations (masked out on
+        # non-``d_every`` steps — lazy-D cadence without a second graph)
         (loss_d, (d_real, d_fake, r1)), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(
             disc_params, {**reid_params, **gen_params}, cols,
             batch["gray"], batch["ir"],
-            jax.lax.stop_gradient(g2i), jax.lax.stop_gradient(i2g))
-        upd, opt_disc = tx_disc.update(disc_grads, state.opt_disc, disc_params)
-        disc_params = optax.apply_updates(disc_params, upd)
+            jax.lax.stop_gradient(g2i), jax.lax.stop_gradient(i2g), r1_weight)
+        upd, opt_disc_new = tx_disc.update(disc_grads, state.opt_disc,
+                                           disc_params)
+        disc_new = optax.apply_updates(disc_params, upd)
+        take = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(d_mask > 0, x, y), a, b)
+        disc_params = take(disc_new, disc_params)
+        opt_disc = take(opt_disc_new, state.opt_disc)
 
         metrics = {**metrics, "loss_reid": loss_re, "loss_gen": loss_g,
                    "loss_disc": loss_d, "d_real": d_real, "d_fake": d_fake,
@@ -229,6 +290,73 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
             opt_disc=opt_disc), metrics
 
     return train_step
+
+
+def build_idpres_set(dataset: SYSUData, max_ids: int = 32, seed: int = 0):
+    """Fixed probe set for the identity-preservation metric: per identity one
+    gray query source (instance a), one style-donor IR (instance b) and one
+    gallery IR (instance c ≠ b, so the style vector can't leak gallery
+    appearance).  Images leave ImageNet-normalized like the train batches."""
+    from vqvae2_tpu.data.sysu import imagenet_normalize
+
+    rng = np.random.default_rng(seed)
+    ids = np.unique(dataset.train_color_label)[:max_ids]
+    grays, styles, gals, labels = [], [], [], []
+    for pid in ids:
+        ci = np.flatnonzero(dataset.train_color_label == pid)
+        ti = np.flatnonzero(dataset.train_ir_label == pid)
+        if len(ci) == 0 or len(ti) == 0:
+            continue
+        a = rng.choice(ci)
+        b, c = (rng.choice(ti, size=2, replace=False) if len(ti) >= 2
+                else (ti[0], ti[0]))
+        rgb = imagenet_normalize(dataset.train_color_image[a])
+        grays.append(np.repeat(rgb.mean(axis=-1, keepdims=True), 3, axis=-1))
+        styles.append(imagenet_normalize(dataset.train_ir_image[b]))
+        gals.append(imagenet_normalize(dataset.train_ir_image[c]))
+        labels.append(pid)
+    return (np.stack(grays).astype(np.float32),
+            np.stack(styles).astype(np.float32),
+            np.stack(gals).astype(np.float32),
+            np.asarray(labels, np.int64))
+
+
+def make_idpres_eval(model: ModelStarGAN):
+    """Frozen-reid identity-preservation mAP — the quantitative translation
+    metric for the fork's actual goal (cross-modal ReID): translate the gray
+    probes to IR, extract L2-normalized IR-path features with the *frozen*
+    person_id net, and rank them against real-IR gallery features.  mAP rises
+    iff the translations preserve identity as seen by the reid net."""
+
+    def e3(x):
+        return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+    @jax.jit
+    def feats(params, batch_stats, gray_q, ir_style, ir_gal):
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def fwd(m):
+            style, *_ = m.person_id(xIR=ir_style, modal=2, with_feature=True,
+                                    train=False)
+            g2i = e3(m.gen_1(gray_q, style))
+            qf = m.person_id(xIR=g2i, modal=2, train=False)[1]
+            gf = m.person_id(xIR=ir_gal, modal=2, train=False)[1]
+            return qf.astype(jnp.float32), gf.astype(jnp.float32)
+
+        return model.apply(variables, method=lambda m: fwd(m))
+
+    def evaluate(state: GanState, probe_set) -> float:
+        from vqvae2_tpu.eval.reid import cosine_distmat, eval_sysu
+
+        gray_q, ir_style, ir_gal, labels = probe_set
+        qf, gf = feats(state.params, state.batch_stats,
+                       jnp.asarray(gray_q), jnp.asarray(ir_style),
+                       jnp.asarray(ir_gal))
+        _, mAP, _ = eval_sysu(cosine_distmat(np.asarray(qf), np.asarray(gf)),
+                              labels, labels)
+        return mAP
+
+    return evaluate
 
 
 def make_sample_fn(model: ModelStarGAN):
@@ -306,12 +434,15 @@ def train(args):
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx_reid, tx_gen, tx_disc, args.num_pos)
     sample_fn = make_sample_fn(model) if args.sample_dir else None
+    idpres = (make_idpres_eval(model), build_idpres_set(dataset, seed=args.seed)
+              ) if args.eval_every else None
     rng = jax.random.PRNGKey(args.seed + 2)
     host_rng = np.random.default_rng(args.seed)
 
     from vqvae2_tpu.utils.metrics import CsvLogger
 
     csv = CsvLogger(args.metrics_csv)
+    map_csv = CsvLogger(args.map_csv)
     n_done, m = 0, {}
     while n_done < total_steps:
         dataset.samplize(args.batch_size, args.num_pos)
@@ -328,7 +459,13 @@ def train(args):
                 "aug_ir": aug_transforms(ir, host_rng),
                 "label": np.asarray([r[2] for r in rows], np.int32),
             }, mesh)
-            state, metrics = step_fn(state, batch, rng)
+            knobs = {
+                "r1_weight": jnp.float32(args.r1_weight),
+                "adv_weight": jnp.float32(args.adv_weight),
+                "d_mask": jnp.float32(1.0 if n_done % args.d_every == 0
+                                      else 0.0),
+            }
+            state, metrics = step_fn(state, batch, rng, knobs)
             n_done += 1
             if n_done % args.log_every == 0 and par.is_primary():
                 m = par.reduce_dict(metrics)
@@ -340,6 +477,13 @@ def train(args):
                     and par.is_primary()):
                 dump_samples(sample_fn, state, batch,
                              f"{args.sample_dir}/{n_done:05d}.png")
+            if (idpres is not None and n_done % args.eval_every == 0
+                    and par.is_primary()):
+                mAP = idpres[0](state, idpres[1])
+                m["idpres_map"] = mAP
+                map_csv.log(n_done, {"idpres_map": mAP})
+                print(f"step {n_done}: identity-preservation mAP {mAP:.4f}",
+                      flush=True)
             if n_done >= total_steps:
                 break
     return m
@@ -364,6 +508,17 @@ def build_argparser():
     p.add_argument("--sample_every", type=int, default=500)
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
+    p.add_argument("--r1_weight", type=float, default=1.0,
+                   help="R1 gradient-penalty weight (traced — no recompile)")
+    p.add_argument("--adv_weight", type=float, default=0.5,
+                   help="generator adversarial-loss weight (reference: 0.5)")
+    p.add_argument("--d_every", type=int, default=1,
+                   help="update the discriminator every N steps (lazy-D)")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="compute frozen-reid identity-preservation mAP every "
+                        "N steps")
+    p.add_argument("--map_csv", type=str, default="",
+                   help="append (step, idpres_map) rows to this CSV")
     return p
 
 
