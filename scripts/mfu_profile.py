@@ -82,13 +82,133 @@ def profile_phase(name, fn, args, n_iter, rows):
                  100.0 * gbs * 1e9 / V5E_PEAK_HBM))
 
 
+def print_table(all_rows):
+    print(f"\n| phase | ms/iter | GFLOP | TFLOP/s | %bf16-peak | GB/s | %HBM |")
+    print("|---|---|---|---|---|---|---|")
+    for dname, rows in all_rows.items():
+        for (name, ms, gflop, tflops, pk, gbs, hbm) in rows:
+            print(f"| {name} | {ms:.2f} | {gflop:.1f} | {tflops:.1f} | "
+                  f"{pk:.0f}% | {gbs:.0f} | {hbm:.0f}% |")
+
+
+def profile_reid(args):
+    """Decompose the flagship ReID + part-parsing step (reference hot loop
+    ``train_reid.py:44-194``): 3-modality backbone+part forward, the loss
+    tail (parsing criterion / Lovasz sort / InfoNCE / triplets), backward,
+    and the SGD update — fp32 vs bf16 — to locate the binding resource
+    (VERDICT r3: 2,121 ms/step, bf16 buys 3%, unexplained)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae2_tpu.part import criterion as C
+    from vqvae2_tpu.part.part_model import EmbedNet2
+    from vqvae2_tpu.train.reid import (ReidState, make_optimizer,
+                                       make_train_step)
+
+    n_ids, num_pos, hw = args.reid_ids, 4, (288, 144)
+    rows_total = n_ids * num_pos
+    print(f"backend: {jax.default_backend()}  reid step P{n_ids}xK{num_pos} "
+          f"({rows_total} rows x3 modalities, {hw[0]}x{hw[1]}, "
+          f"arch={args.reid_arch})", flush=True)
+    rngd = np.random.default_rng(0)
+    imgs = lambda: jnp.asarray(
+        rngd.normal(size=(rows_total, *hw, 3)).astype(np.float32))
+    parts = lambda: jnp.asarray(
+        rngd.integers(0, 7, size=(rows_total, *hw)).astype(np.int32))
+    batch = {"rgb": imgs(), "ir": imgs(), "gray": imgs(),
+             "label": jnp.asarray(np.repeat(np.arange(n_ids, dtype=np.int32),
+                                            num_pos)),
+             "part1": parts(), "part2": parts()}
+
+    all_rows = {}
+    for dtype, dname in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        rows = []
+        model = EmbedNet2(class_num=395, arch=args.reid_arch, dtype=dtype)
+        tx = make_optimizer(0.1, 100)
+        probe = jnp.zeros((1, *hw, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), xRGB=probe, xIR=probe,
+                               xZ=probe, modal=0, train=True)
+        state = ReidState(step=jnp.zeros((), jnp.int32),
+                          params=variables["params"],
+                          batch_stats=variables["batch_stats"],
+                          opt_state=tx.init(variables["params"]))
+        n = max(args.iters // 6, 5)
+
+        # --- backbone+part forward (train mode, all three modalities)
+        def fwd(params, bstats, x):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": bstats},
+                xRGB=x, xIR=batch["ir"], xZ=batch["gray"], modal=0,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return out
+        profile_phase(f"fwd 3-modal {dname}", fwd,
+                      (state.params, state.batch_stats, batch["rgb"]), n, rows)
+
+        # --- the parsing criterion alone (same shapes the fwd produces)
+        out = jax.eval_shape(fwd, state.params, state.batch_stats,
+                             batch["rgb"])
+        (parsing_s, fusion_s), (edge_s,) = out[2][0], out[2][1]
+        mk = lambda s: jnp.asarray(rngd.normal(size=s.shape)
+                                   .astype(np.float32))
+        parsing, fusion, edge = mk(parsing_s), mk(fusion_s), mk(edge_s)
+        labels3 = jnp.concatenate([batch["part1"], batch["part2"],
+                                   batch["part1"]], axis=0)
+
+        def crit(parsing_, fusion_, edge_, labels_, x_):
+            labels_ = (labels_ + (x_[0, 0, 0, 0] * 0).astype(jnp.int32))
+            edges = C.generate_edge(labels_).astype(jnp.int32)
+            return C.criterion_all([parsing_, fusion_], [edge_],
+                                   labels_, edges)
+        profile_phase(f"parsing criterion {dname}", crit,
+                      (parsing, fusion, edge, labels3, batch["rgb"]), n, rows)
+
+        # --- Lovasz alone (the XLA sort inside the criterion)
+        from vqvae2_tpu.part.lovasz import lovasz_softmax
+
+        def lov(parsing_, labels_, x_):
+            labels_ = (labels_ + (x_[0, 0, 0, 0] * 0).astype(jnp.int32))
+            lh = jax.image.resize(
+                parsing_, (parsing_.shape[0], labels_.shape[1],
+                           labels_.shape[2], parsing_.shape[-1]), "bilinear")
+            return lovasz_softmax(jax.nn.softmax(lh, -1), labels_,
+                                  ignore=C.IGNORE)
+        profile_phase(f"lovasz(sort) {dname}", lov,
+                      (parsing, labels3, batch["rgb"]), n, rows)
+
+        # --- full loss forward / backward / optimizer step
+        step_fn = make_train_step(model, tx, num_pos, n_ids, hw).__wrapped__
+
+        def full_step(state_, x_):
+            b = dict(batch, rgb=x_)
+            s, m = step_fn(state_, b, jax.random.PRNGKey(2))
+            return (m["loss"], s.params, s.opt_state)
+        profile_phase(f"train step {dname}", full_step, (state, batch["rgb"]),
+                      n, rows)
+        all_rows[dname] = rows
+
+    print_table(all_rows)
+    f32 = {r[0].rsplit(" ", 1)[0]: r[1] for r in all_rows["fp32"]}
+    b16 = {r[0].rsplit(" ", 1)[0]: r[1] for r in all_rows["bf16"]}
+    for k in f32:
+        if k in b16:
+            print(f"{k}: bf16 speedup {f32[k] / b16[k]:.2f}x "
+                  f"({f32[k]:.1f} -> {b16[k]:.1f} ms)")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--train_batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=60)
     p.add_argument("--size", type=int, default=256)
+    p.add_argument("--reid", action="store_true",
+                   help="profile the ReID+part step instead of stage-1")
+    p.add_argument("--reid_ids", type=int, default=6)
+    p.add_argument("--reid_arch", type=str, default="resnet50")
     args = p.parse_args()
+    if args.reid:
+        return profile_reid(args)
 
     import jax
     import jax.numpy as jnp
@@ -151,12 +271,7 @@ def main():
                       (state, xt), max(args.iters // 6, 5), rows)
         all_rows[dname] = rows
 
-    print(f"\n| phase | ms/iter | GFLOP | TFLOP/s | %bf16-peak | GB/s | %HBM |")
-    print("|---|---|---|---|---|---|---|")
-    for dname, rows in all_rows.items():
-        for (name, ms, gflop, tflops, pk, gbs, hbm) in rows:
-            print(f"| {name} | {ms:.2f} | {gflop:.1f} | {tflops:.1f} | "
-                  f"{pk:.0f}% | {gbs:.0f} | {hbm:.0f}% |")
+    print_table(all_rows)
     enc_f = [r for r in all_rows["fp32"] if r[0].startswith("encode_ids")][0]
     enc_b = [r for r in all_rows["bf16"] if r[0].startswith("encode_ids")][0]
     print(f"\nencode img/s: fp32 {args.batch / (enc_f[1] / 1e3):,.0f}  "

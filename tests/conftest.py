@@ -35,3 +35,19 @@ def devices():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def forbid_replication():
+    """Turn shard_batch's replication fallback into a test failure: trainer
+    integration tests run their batches ACTUALLY 8-way sharded (VERDICT r3:
+    4-row batches silently replicated, so BN psums/reduce_dict under real
+    sharding never executed for the SYSU families)."""
+    import warnings
+
+    from vqvae2_tpu import parallel as par
+
+    par._INDIVISIBLE_WARNED.clear()  # warning is once-per-shape
+    with warnings.catch_warnings():
+        warnings.filterwarnings("error", message="shard_batch")
+        yield

@@ -93,6 +93,72 @@ def test_grad_accum_matches_sequential_reference(rng):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_reid_grad_accum_matches_sequential_reference(rng):
+    """The ReID trainer's grad_accum scan (summed/averaged grads, BN stats
+    through the carry, per-microbatch dropout keys) must reproduce an eager
+    loop over the same P×K microbatches followed by one SGD update — the
+    second consumer of the remote-compile microbatching workaround."""
+    import optax
+
+    from vqvae2_tpu.part.part_model import EmbedNet2
+    from vqvae2_tpu.train.reid import ReidState, make_loss_fn, make_train_step
+
+    n_ids, num_pos, hw, accum = 2, 2, (48, 24), 2
+    rows = n_ids * num_pos
+    model = EmbedNet2(class_num=n_ids, arch="resnet18")
+    tx = optax.sgd(0.01)
+    probe = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xRGB=probe, xIR=probe,
+                           xZ=probe, modal=0, train=True)
+
+    def mkbatch(seed):
+        r = np.random.default_rng(seed)
+        imgs = lambda: r.normal(size=(rows, *hw, 3)).astype(np.float32)
+        parts = lambda: r.integers(0, 7, size=(rows, *hw)).astype(np.int32)
+        return {"rgb": imgs(), "ir": imgs(), "gray": imgs(),
+                "label": np.repeat(np.arange(n_ids, dtype=np.int32), num_pos),
+                "part1": parts(), "part2": parts()}
+
+    micros = [jax.tree_util.tree_map(jnp.asarray, mkbatch(s)) for s in (1, 2)]
+    stacked = {k: jnp.stack([b[k] for b in micros]) for k in micros[0]}
+    key = jax.random.PRNGKey(7)
+    state = ReidState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables["batch_stats"],
+                      opt_state=tx.init(variables["params"]))
+
+    # eager reference: per-microbatch grads at the SAME params, with the
+    # SAME folded dropout keys the scan uses, then one averaged SGD update
+    loss_fn = make_loss_fn(model, num_pos, n_ids, hw)
+    folded = jax.random.fold_in(key, 0)  # fold_in(rng, state.step=0)
+    bstats, losses = state.batch_stats, []
+    gsum = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    for i, b in enumerate(micros):
+        (loss, (bstats, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, bstats, b,
+                                   jax.random.fold_in(folded, i))
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        losses.append(float(loss))
+    grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+
+    acc_state, m_acc = make_train_step(model, tx, num_pos, n_ids, hw,
+                                       grad_accum=accum)(state, stacked, key)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), np.mean(losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(acc_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(bstats),
+                    jax.tree_util.tree_leaves(acc_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_grad_accum_advances_ema_per_microbatch(rng):
     """With a live EMA (decay<1) the codebook stats must advance through the
     scan carry — K microbatches move them further than one."""

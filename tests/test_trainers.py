@@ -51,13 +51,13 @@ def test_every_trainer_accepts_metrics_csv():
 
 
 @pytest.mark.slow
-def test_reid_trainer_one_step(tiny_sysu, tmp_path):
+def test_reid_trainer_one_step(tiny_sysu, tmp_path, forbid_replication):
     from vqvae2_tpu.train import reid
 
     raw = _make_raw_sysu(tmp_path / "SYSU-MM01",
                          np.random.default_rng(0))
     args = reid.build_argparser().parse_args([
-        "--path", tiny_sysu, "--steps", "2", "--batch_size", "2",
+        "--path", tiny_sysu, "--steps", "2", "--batch_size", "4",
         "--num_pos", "2", "--arch", "resnet18", "--img_h", "48",
         "--img_w", "24", "--log_every", "1",
         "--sample_dir", str(tmp_path), "--sample_every", "2",
@@ -75,11 +75,11 @@ def test_reid_trainer_one_step(tiny_sysu, tmp_path):
 
 
 @pytest.mark.slow
-def test_gray2color_trainer_one_step(tiny_sysu, tmp_path):
+def test_gray2color_trainer_one_step(tiny_sysu, tmp_path, forbid_replication):
     from vqvae2_tpu.train import gray2color
 
     args = gray2color.build_argparser().parse_args([
-        "--path", tiny_sysu, "--steps", "2", "--batch_size", "2",
+        "--path", tiny_sysu, "--steps", "2", "--batch_size", "4",
         "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
         "--sample_dir", str(tmp_path), "--sample_every", "2",
     ])
@@ -89,7 +89,7 @@ def test_gray2color_trainer_one_step(tiny_sysu, tmp_path):
 
 
 @pytest.mark.slow
-def test_deep_adaptive_trainer_one_step(tmp_path_factory):
+def test_deep_adaptive_trainer_one_step(tmp_path_factory, forbid_replication):
     from vqvae2_tpu.train import vqvae_deep
     from vqvae2_tpu.train.reid import make_synthetic_sysu
 
@@ -98,7 +98,7 @@ def test_deep_adaptive_trainer_one_step(tmp_path_factory):
                             n_ids=4, per_id=4, h=64, w=32)
     sample_dir = tmp_path_factory.mktemp("deep_samples")
     args = vqvae_deep.build_argparser().parse_args([
-        "--path", d, "--steps", "2", "--batch_size", "2",
+        "--path", d, "--steps", "2", "--batch_size", "4",
         "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
         "--sample_dir", str(sample_dir), "--sample_every", "2",
     ])

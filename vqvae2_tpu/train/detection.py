@@ -155,6 +155,7 @@ def train(args):
     from vqvae2_tpu.utils.metrics import CsvLogger
 
     csv = CsvLogger(args.metrics_csv)
+    map_csv = CsvLogger(args.map_csv)
     n_done, t0 = 0, time.perf_counter()
     loss = float("nan")
     while n_done < total_steps:
@@ -172,6 +173,17 @@ def train(args):
                 print(f"step {n_done}/{total_steps} loss {loss:.4f} "
                       f"({rate:.1f} img/s)", flush=True)
                 csv.log(n_done, {"loss": loss, "img_per_s": rate})
+            if (args.eval_every and n_done % args.eval_every == 0
+                    and par.is_primary()):
+                # periodic COCO AP — the quality-rises evidence the per-epoch
+                # evaluate loop of reference vision/engine.py:71-109 provides
+                ev = evaluate(model, state, dataset, dboxes,
+                              batch_size=args.batch_size)
+                row = {k: v for k, v in ev.items()
+                       if not k.startswith("AP50_class")}
+                map_csv.log(n_done, row)
+                print(f"step {n_done}: mAP {ev.get('mAP', float('nan')):.4f} "
+                      f"AP50 {ev.get('AP50', float('nan')):.4f}", flush=True)
             if n_done >= total_steps:
                 break
 
@@ -204,6 +216,10 @@ def build_argparser():
     p.add_argument("--viz_dir", type=str, default="",
                    help="dump annotated prediction PNGs during --eval")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="run COCO AP evaluation every N steps")
+    p.add_argument("--map_csv", type=str, default="",
+                   help="append per-evaluation AP rows to this CSV")
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
     return p

@@ -243,6 +243,7 @@ def train(args):
     from vqvae2_tpu.utils.metrics import CsvLogger
 
     csv = CsvLogger(args.metrics_csv)
+    map_csv = CsvLogger(args.map_csv)
     n_done, t0, m = 0, time.perf_counter(), {}
     while n_done < total_steps:
         for imgs, gt_boxes, gt_labels, _, gt_masks in dataset.batches(
@@ -262,6 +263,18 @@ def train(args):
                       f"roi {m['roi_cls']:.3f}/{m['roi_reg']:.3f} "
                       f"mask {m['mask']:.3f} ({rate:.1f} img/s)", flush=True)
                 csv.log(n_done, dict(m, img_per_s=rate))
+            if (args.eval_every and n_done % args.eval_every == 0
+                    and par.is_primary()):
+                # periodic bbox+segm AP (the reference's per-epoch
+                # vision/engine.evaluate, fashion.py:88-108)
+                ev = evaluate_instances(model, state, dataset, anchors,
+                                        batch_size=args.batch_size)
+                row = {k: float(v) for k, v in ev.items()
+                       if not k.startswith("AP50_class")}
+                map_csv.log(n_done, row)
+                print(f"step {n_done}: bbox mAP "
+                      f"{row.get('mAP', float('nan')):.4f} mask mAP "
+                      f"{row.get('mask_mAP', float('nan')):.4f}", flush=True)
             if n_done >= total_steps:
                 break
 
@@ -294,6 +307,10 @@ def build_argparser():
     p.add_argument("--viz_dir", type=str, default="",
                    help="dump annotated [pred | GT] PNGs during --eval")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="run bbox+segm AP evaluation every N steps")
+    p.add_argument("--map_csv", type=str, default="",
+                   help="append per-evaluation AP rows to this CSV")
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
     return p

@@ -70,8 +70,12 @@ def make_optimizer(lr_f: float, steps_per_epoch: int):
     return optax.multi_transform({"base": sgd(0.01), "cls": sgd(1.0)}, label_fn)
 
 
-def make_train_step(model: EmbedNet2, tx, num_pos: int, batch_ids: int,
-                    img_hw=(IMG_H, IMG_W)):
+def make_loss_fn(model: EmbedNet2, num_pos: int, batch_ids: int,
+                 img_hw=(IMG_H, IMG_W)):
+    """The full ReID + part-parsing objective (reference loss assembly,
+    ``train_reid.py:97-149``) as a pure ``(params, batch_stats, batch, rng)
+    -> (loss, (batch_stats, metrics))`` function — shared by the single-step
+    and grad-accum train steps and unit-testable in isolation."""
     n_part = model.part_num - 1
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -144,6 +148,24 @@ def make_train_step(model: EmbedNet2, tx, num_pos: int, batch_ids: int,
                    "id_parts": loss_id_parts, "c2g": loss_c2g, "acc": acc}
         return total, (new_vars["batch_stats"], metrics)
 
+    return loss_fn
+
+
+def make_train_step(model: EmbedNet2, tx, num_pos: int, batch_ids: int,
+                    img_hw=(IMG_H, IMG_W), grad_accum: int = 1):
+    """``grad_accum > 1`` scans K P×K-structured microbatches inside the ONE
+    jitted program (the pattern of ``train/vqvae.py::make_train_step``): the
+    traced graph stays microbatch-sized (the remote-compile ceiling
+    workaround, CLAUDE.md), gradients are summed then averaged, one SGD
+    update fires at the end.  Per-microbatch triplet/InfoNCE semantics match
+    the reference's DDP exactly — each rank there computes batch-hard losses
+    over its LOCAL batch and averages gradients
+    (``/root/reference/train_reid.py:44-194`` under the DDP wrap).  BN
+    running stats advance through the scan carry; dropout keys fold per
+    microbatch.  The batch must then arrive as ``(grad_accum, rows, ...)``
+    (see ``par.shard_microbatches``)."""
+    loss_fn = make_loss_fn(model, num_pos, batch_ids, img_hw)
+
     # Donate the state: params/opt/EMA buffers are rewritten in place,
     # halving peak HBM for the step (XLA aliases in->out buffers).
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -157,7 +179,36 @@ def make_train_step(model: EmbedNet2, tx, num_pos: int, batch_ids: int,
                              batch_stats=batch_stats,
                              opt_state=opt_state), metrics
 
-    return train_step
+    if grad_accum == 1:
+        return train_step
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step_accum(state: ReidState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def micro(carry, xm):
+            bstats, gsum = carry
+            idx, b = xm
+            (_, (new_bstats, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, bstats, b,
+                                       jax.random.fold_in(rng, idx))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return (new_bstats, gsum), metrics
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (batch_stats, gsum), ms = jax.lax.scan(
+            micro, (state.batch_stats, zeros),
+            (jnp.arange(grad_accum), batch))
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), ms)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=batch_stats,
+                             opt_state=opt_state), metrics
+
+    return train_step_accum
 
 
 def make_part_viz_fn(model: EmbedNet2):
@@ -247,7 +298,7 @@ def train(args):
     mesh = par.default_mesh()
     dataset = SYSUData(args.path, part=True, seed=args.seed)
     loader_batch = args.batch_size * args.num_pos
-    steps_per_epoch = max(len(dataset) // loader_batch, 1)
+    steps_per_epoch = max(len(dataset) // (loader_batch * args.grad_accum), 1)
     total_steps = args.steps or steps_per_epoch * args.epoch
 
     model = EmbedNet2(class_num=dataset.num_class, arch=args.arch,
@@ -272,7 +323,8 @@ def train(args):
                       batch_stats=variables["batch_stats"],
                       opt_state=tx.init(variables["params"]))
     state = par.replicate(state, mesh)
-    step_fn = make_train_step(model, tx, args.num_pos, args.batch_size, img_hw)
+    step_fn = make_train_step(model, tx, args.num_pos, args.batch_size, img_hw,
+                              grad_accum=args.grad_accum)
     viz_fn = make_part_viz_fn(model) if args.sample_dir else None
     # hardware-RNG dropout stream (see train/pixelsnail.py)
     rng = jax.random.key(args.seed + 1, impl="unsafe_rbg")
@@ -281,25 +333,35 @@ def train(args):
     csv = CsvLogger(args.metrics_csv)
     map_csv = CsvLogger(args.map_csv)
     n_done, t0, m = 0, time.perf_counter(), {}
-    epoch = 0
+    epoch, accum, buf = 0, args.grad_accum, []
     while n_done < total_steps:
         epoch += 1
         dataset.samplize(args.batch_size, args.num_pos)
         for rows in epoch_row_batches(dataset, loader_batch):
-            batch = collate(rows, img_hw)
-            batch = par.shard_batch(batch, mesh)
+            buf.append(collate(rows, img_hw))
+            if len(buf) < accum:
+                continue
+            viz_batch, micro = buf[-1], buf
+            buf = []
+            if accum == 1:
+                batch = par.shard_batch(micro[0], mesh)
+            else:
+                batch = par.shard_microbatches(
+                    {k: np.stack([b[k] for b in micro]) for k in micro[0]},
+                    mesh)
             state, metrics = step_fn(state, batch, rng)
             n_done += 1
             if n_done % args.log_every == 0 and par.is_primary():
                 m = par.reduce_dict(metrics)
-                rate = n_done * loader_batch / (time.perf_counter() - t0)
+                rate = (n_done * loader_batch * accum
+                        / (time.perf_counter() - t0))
                 print(f"step {n_done}/{total_steps} loss {m['loss']:.3f} "
                       f"id {m['id']:.3f} tri {m['tri']:.3f} part {m['part']:.3f} "
                       f"acc {m['acc']:.3f} ({rate:.1f} img/s)", flush=True)
                 csv.log(n_done, dict(m, img_per_s=rate))
             if (viz_fn is not None and n_done % args.sample_every == 0
                     and par.is_primary()):
-                dump_part_samples(viz_fn, state, batch,
+                dump_part_samples(viz_fn, state, viz_batch,
                                   f"{args.sample_dir}/part_{n_done:05d}.png",
                                   n_part=model.part_num)
             if n_done >= total_steps:
@@ -347,6 +409,9 @@ def build_argparser():
     p.add_argument("--eval_path", type=str, default="",
                    help="raw SYSU-MM01 root (cam1..cam6 + exp/test_id.txt)")
     p.add_argument("--eval_trials", type=int, default=1)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="scan K P×K microbatches inside one jitted step "
+                        "(one SGD update per superbatch; see make_train_step)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv/matmul compute (fp32 params, fp32 "
                         "losses and BN statistics)")
