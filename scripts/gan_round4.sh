@@ -39,7 +39,7 @@ python -m vqvae2_tpu.train.stargan_bi --path "$RUN/data" \
   --log_every 8 --metrics_csv "$RUN/gan_loss_r4.csv" \
   --sample_dir "$RUN/gan_samples_r4" --sample_every 250 \
   --eval_every 100 --map_csv "$RUN/gan_idpres_r4.csv" \
-  --r1_weight 1.0 --adv_weight 0.5 --d_every 1
+  --r1_weight 1.0 --adv_weight 0.5 --d_every "${D_EVERY:-2}"
 
 echo "=== full-phase staged gray->IR trainer ==="
 python -m vqvae2_tpu.train.vqvae_deep_ir --path "$RUN/data" \

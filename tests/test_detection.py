@@ -186,9 +186,13 @@ def test_ssd_trainer_train_eval_viz(tmp_path):
         "--img_dir", img_dir, "--ann_file", ann, "--size", "300",
         "--steps", "1", "--batch_size", "2", "--log_every", "1",
         "--eval", "--viz_dir", str(viz),
+        "--eval_every", "1", "--map_csv", str(tmp_path / "ap.csv"),
     ])
     m = T.train(args)
     assert np.isfinite(m["loss"])
     for k in ("mAP", "AP50", "AP75"):
         assert k in m and np.isfinite(m[k]), f"{k} missing: {m}"
     assert list(viz.glob("det_*.png")), "prediction viz not dumped"
+    # the periodic-AP path (eval_every) must produce a header + one row
+    ap_rows = (tmp_path / "ap.csv").read_text().strip().splitlines()
+    assert len(ap_rows) == 2 and ap_rows[0].startswith("step,")

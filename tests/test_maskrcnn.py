@@ -68,8 +68,12 @@ def test_maskrcnn_train_and_eval(tmp_path):
         "--img_dir", img_dir, "--ann_file", ann, "--size", "64",
         "--steps", "2", "--batch_size", "2", "--num_proposals", "16",
         "--log_every", "1", "--eval", "--viz_dir", str(viz),
+        "--eval_every", "2", "--map_csv", str(tmp_path / "ap.csv"),
     ])
     m = T.train(args)
+    # the periodic-AP path (eval_every) must produce a header + one row
+    ap_rows = (tmp_path / "ap.csv").read_text().strip().splitlines()
+    assert len(ap_rows) == 2 and ap_rows[0].startswith("step,")
     for k in ("loss", "rpn_cls", "roi_cls", "mask"):
         assert np.isfinite(m[k]), f"{k} not finite: {m}"
     assert "mAP" in m and "mask_mIoU" in m

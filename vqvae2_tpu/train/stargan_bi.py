@@ -39,6 +39,14 @@ step 8):
    reaches 1e14.  Here the features are L2-normalized first, making
    pos/neg O(1) at every step (margin unchanged at 0.01).
 
+A fourth, reference-*faithful* detail matters for init stability: the
+person_id pass over the translations runs ``train=True`` (batch-stat BN),
+because the reference keeps the whole model in train mode during
+``train_cycle_rec``.  With eval-mode running stats a fresh generator's
+out-of-distribution outputs drive the id CE to O(1e7) for the first ~50
+steps (measured); batch-stat BN renormalizes any input scale so every loss
+is O(1) from step 1.  The BN stats mutated by that pass are discarded.
+
 The D/G balance knobs (``r1_weight``, ``adv_weight``, ``d_every``) enter the
 step as *traced scalars*, so retuning them never recompiles the graph
 (remote TPU compiles of this trainer take tens of minutes).
@@ -185,8 +193,15 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
             i2g = e3(m.gen_2(ir, featV))
             g2i2g = e3(m.gen_2(g2i, featV))
             i2g2i = e3(m.gen_1(i2g, featI))
+            # train=True: the reference runs the whole model in train mode
+            # here, so BN normalizes with *batch* stats — with eval-mode
+            # running stats (init: mean 0 / var 1) the out-of-distribution
+            # fakes of a fresh generator drive the logits to O(1e7) and the
+            # id CE to 1e7 at step 8 (round-4 run gan_loss_r4.csv).  The
+            # mutated stats are discarded (new_vars below), so the reid
+            # net's running statistics never see generator outputs.
             fake_feat, fake_score, *_ = m.person_id(
-                xRGB=i2g, xIR=g2i, modal=0, with_feature=True, train=False)
+                xRGB=i2g, xIR=g2i, modal=0, with_feature=True, train=True)
             y = jnp.concatenate([jnp.ones((bs,), jnp.int32),
                                  jnp.zeros((bs,), jnp.int32)])
             # deviation #2: fool the SAME heads D scores fakes on (1-y) —
