@@ -53,3 +53,42 @@ def test_pixelsnail_trainer_resume(tmp_path):
     args2.hier = "top"
     m2 = ps.train(args2)
     assert np.isfinite(m2["loss"])
+
+@pytest.mark.slow
+def test_gray2color_trainer_resume(tmp_path):
+    """The adaptation-family trainers share the same periodic/last/best
+    checkpoint layout (round-4 parity fix: bi/ir/gray2color/stargan_bi
+    previously had no --ckpt_dir at all; the reference saves every epoch)."""
+    from vqvae2_tpu.train import gray2color
+    from vqvae2_tpu.train.reid import make_synthetic_sysu
+
+    data = make_synthetic_sysu(str(tmp_path / "sysu"), n_ids=4, per_id=4,
+                               h=48, w=24)
+    base = ["--path", data, "--steps", "2", "--batch_size", "4",
+            "--num_pos", "2", "--arch", "resnet18", "--log_every", "1",
+            "--sample_every", "0", "--save_every", "1",
+            "--ckpt_dir", str(tmp_path / "ckpt")]
+    args = gray2color.build_argparser().parse_args(base)
+    m1 = gray2color.train(args)
+    assert np.isfinite(m1["loss"])
+    ckpt = tmp_path / "ckpt"
+    assert (ckpt / "last").is_dir() and (ckpt / "step_0000002").is_dir()
+    assert (ckpt / "config.json").exists()
+
+    args2 = gray2color.build_argparser().parse_args(base + ["--resume"])
+    m2 = gray2color.train(args2)
+    assert np.isfinite(m2["loss"])
+    # resumed from a 2-step-trained state: loss must stay in the same regime
+    assert abs(m2["loss"] - m1["loss"]) < 1.0
+
+
+@pytest.mark.slow
+def test_stargan_bi_trainer_resume_flags(tmp_path):
+    """stargan_bi/bi/ir accept the same checkpoint flags (CLI contract)."""
+    import importlib
+
+    for mod in ("stargan_bi", "vqvae_deep_bi", "vqvae_deep_ir"):
+        m = importlib.import_module(f"vqvae2_tpu.train.{mod}")
+        args = m.build_argparser().parse_args(
+            ["--ckpt_dir", "ck", "--save_every", "5", "--resume"])
+        assert args.ckpt_dir == "ck" and args.save_every == 5 and args.resume

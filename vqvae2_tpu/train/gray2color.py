@@ -135,6 +135,19 @@ def train(args):
                      batch_stats=variables.get("batch_stats", {}),
                      vq_stats=variables.get("vq_stats", {}),
                      opt_state=tx.init(variables["params"]))
+    # checkpoint/resume with the sibling trainers' periodic/last layout
+    # (the reference saves per epoch, train_gray2color.py epoch loop)
+    from vqvae2_tpu.utils.checkpoint import CheckpointManager
+
+    if args.resume and args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        latest = mgr.latest_step()
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        state = mgr.restore(name, state)
+        if par.is_primary():
+            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
+    ckpt = (CheckpointManager(args.ckpt_dir, config=vars(args))
+            if args.ckpt_dir else None)
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx)
     # hardware-RNG dropout stream (threefry bit generation is VPU-bound;
@@ -177,8 +190,12 @@ def train(args):
                                        fake[:k], fake2[:k]], axis=0)
                 save_image(grid, f"{args.sample_dir}/{n_done:05d}.png", nrow=k,
                            value_range=(-2.0, 2.0))
+            if ckpt and args.save_every and n_done % args.save_every == 0:
+                ckpt.save_periodic(n_done, state)
             if n_done >= total_steps:
                 break
+    if ckpt:
+        ckpt.save_last(state)
     return m
 
 
@@ -199,6 +216,12 @@ def build_argparser():
     p.add_argument("--sample_every", type=int, default=0,
                    help="dump [rgb|ir|recon|colorized|colorized-other] grids"
                         " every N steps (0 = off)")
+    p.add_argument("--ckpt_dir", type=str, default="",
+                   help="periodic/last checkpoints (off if empty)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="periodic checkpoint cadence in steps (0 = last only)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest step_*/last checkpoint from --ckpt_dir")
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
     return p

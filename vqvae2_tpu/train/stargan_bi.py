@@ -446,6 +446,20 @@ def train(args):
                      opt_reid=tx_reid.init(reid_params),
                      opt_gen=tx_gen.init(gen_params),
                      opt_disc=tx_disc.init(disc_params))
+    # checkpoint/resume: the reference saves the whole StarGAN ensemble per
+    # epoch (train_vqvae_deep_bi2.py epoch loop); same periodic/last/best
+    # layout as the sibling trainers (utils/checkpoint.py)
+    from vqvae2_tpu.utils.checkpoint import CheckpointManager
+
+    if args.resume and args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        latest = mgr.latest_step()
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        state = mgr.restore(name, state)
+        if par.is_primary():
+            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
+    ckpt = (CheckpointManager(args.ckpt_dir, config=vars(args))
+            if args.ckpt_dir else None)
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx_reid, tx_gen, tx_disc, args.num_pos)
     sample_fn = make_sample_fn(model) if args.sample_dir else None
@@ -499,8 +513,15 @@ def train(args):
                 map_csv.log(n_done, {"idpres_map": mAP})
                 print(f"step {n_done}: identity-preservation mAP {mAP:.4f}",
                       flush=True)
+                if ckpt and ckpt.save_best(mAP, state):
+                    print(f"step {n_done}: new best idpres mAP {mAP:.4f}",
+                          flush=True)
+            if ckpt and args.save_every and n_done % args.save_every == 0:
+                ckpt.save_periodic(n_done, state)
             if n_done >= total_steps:
                 break
+    if ckpt:
+        ckpt.save_last(state)
     return m
 
 
@@ -532,6 +553,12 @@ def build_argparser():
     p.add_argument("--eval_every", type=int, default=0,
                    help="compute frozen-reid identity-preservation mAP every "
                         "N steps")
+    p.add_argument("--ckpt_dir", type=str, default="",
+                   help="periodic/last/best-idpres checkpoints (off if empty)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="periodic checkpoint cadence in steps (0 = last/best only)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest step_*/last checkpoint from --ckpt_dir")
     p.add_argument("--map_csv", type=str, default="",
                    help="append (step, idpres_map) rows to this CSV")
     return p

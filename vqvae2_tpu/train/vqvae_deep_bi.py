@@ -311,6 +311,19 @@ def train(args):
                     vq_stats=variables.get("vq_stats", {}),
                     opt_reid=tx_reid.init(reid_params),
                     opt_gen=tx_gen.init(gen_params))
+    # checkpoint/resume with the sibling trainers' periodic/last layout
+    # (reference saves the bi ensemble per epoch, train_vqvae_deep_bi.py)
+    from vqvae2_tpu.utils.checkpoint import CheckpointManager
+
+    if args.resume and args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        latest = mgr.latest_step()
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        state = mgr.restore(name, state)
+        if par.is_primary():
+            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
+    ckpt = (CheckpointManager(args.ckpt_dir, config=vars(args))
+            if args.ckpt_dir else None)
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx_reid, tx_gen, args.num_pos)
     # hardware-RNG dropout stream (threefry bit generation is VPU-bound;
@@ -345,8 +358,12 @@ def train(args):
                       f"reid {m['loss_reid']:.3f} cycle {m['cycle']:.4f} "
                       f"latent {m['latent']:.4f}", flush=True)
                 csv.log(n_done, m)
+            if ckpt and args.save_every and n_done % args.save_every == 0:
+                ckpt.save_periodic(n_done, state)
             if n_done >= total_steps:
                 break
+    if ckpt:
+        ckpt.save_last(state)
     return m
 
 
@@ -363,6 +380,12 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--ckpt_dir", type=str, default="",
+                   help="periodic/last checkpoints (off if empty)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="periodic checkpoint cadence in steps (0 = last only)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest step_*/last checkpoint from --ckpt_dir")
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
     return p

@@ -285,6 +285,22 @@ def train(args):
                       vq_stats=variables.get("vq_stats", {}),
                       opt_reid=tx_reid.init(reid_params),
                       opt_gen=tx_gen.init(gen_params))
+    # checkpoint/resume with the sibling trainers' periodic/last layout
+    # (the reference saves per epoch, train_vqvae_deep_ir.py epoch loop).
+    # NOTE on resume across the curriculum: the stage is derived from
+    # n_done, which restarts at 0 — resume re-runs the recon stage unless
+    # --stage_reconstruction is lowered accordingly.
+    from vqvae2_tpu.utils.checkpoint import CheckpointManager
+
+    if args.resume and args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        latest = mgr.latest_step()
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        state = mgr.restore(name, state)
+        if par.is_primary():
+            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
+    ckpt = (CheckpointManager(args.ckpt_dir, config=vars(args))
+            if args.ckpt_dir else None)
     state = par.replicate(state, mesh)
     from vqvae2_tpu.models.resnet import pool_dim
 
@@ -332,8 +348,12 @@ def train(args):
                     and par.is_primary()):
                 dump_samples(sample_fn, state, batch,
                              f"{args.sample_dir}/{n_done:05d}.png")
+            if ckpt and args.save_every and n_done % args.save_every == 0:
+                ckpt.save_periodic(n_done, state)
             if n_done >= total_steps:
                 break
+    if ckpt:
+        ckpt.save_last(state)
     return m
 
 
@@ -354,6 +374,12 @@ def build_argparser():
     p.add_argument("--sample_dir", type=str, default="",
                    help="dump sample grids here (reference sample-new/)")
     p.add_argument("--sample_every", type=int, default=500)
+    p.add_argument("--ckpt_dir", type=str, default="",
+                   help="periodic/last checkpoints (off if empty)")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="periodic checkpoint cadence in steps (0 = last only)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest step_*/last checkpoint from --ckpt_dir")
     p.add_argument("--metrics_csv", type=str, default="",
                    help="append per-log-step scalars to this CSV (loss curves)")
     return p
