@@ -149,14 +149,18 @@ def test_reid_grad_accum_matches_sequential_reference(rng):
 
     np.testing.assert_allclose(float(m_acc["loss"]), np.mean(losses),
                                rtol=1e-5)
+    # atol 1e-5: the scan sums microbatch grads in a different association
+    # order than the eager loop, so fp32 drift of a few e-6 on ~1e-3-magnitude
+    # params is expected (observed max 2.8e-6); anything structural would
+    # miss by orders of magnitude.
     for a, b in zip(jax.tree_util.tree_leaves(ref_params),
                     jax.tree_util.tree_leaves(acc_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(bstats),
                     jax.tree_util.tree_leaves(acc_state.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_grad_accum_advances_ema_per_microbatch(rng):
