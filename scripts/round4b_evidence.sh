@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Round-4 evidence chain, part B: the items round4_evidence.sh never reached
+# (the chain was cut during [1/4] by a TPU-tunnel outage at StarGAN step 1520).
+#   1. Detection AP-rises runs (SSD + Mask R-CNN)  — VERDICT r3 missing #2.
+#   2. ReID-step roofline measurement               — VERDICT r3 weak #4.
+#   3. Full-phase staged gray->IR run               — VERDICT r3 missing #3.
+# Serial on purpose: one chip, one trainer graph's HBM at a time.
+# Usage: nohup bash scripts/round4b_evidence.sh > /tmp/r4b.log 2>&1 &
+set -uo pipefail
+RUN="runs/convergence_gan"
+mkdir -p "$RUN" runs/convergence_det
+
+if [ ! -d "$RUN/data" ]; then
+  echo "=== corpus ==="
+  python - "$RUN" <<'EOF'
+import sys
+from vqvae2_tpu.data.persons import save_person_sysu
+save_person_sysu(f"{sys.argv[1]}/data", n_ids=16, per_id=24)
+print("corpus written", flush=True)
+EOF
+fi
+
+echo "=== [1/3] detection AP runs ($(date -u +%H:%M:%S)) ==="
+bash scripts/detection_ap_run.sh runs/convergence_det
+echo "=== [1/3] exit $? ($(date -u +%H:%M:%S)) ==="
+
+echo "=== [2/3] ReID roofline ($(date -u +%H:%M:%S)) ==="
+python scripts/mfu_profile.py --reid | tee runs/convergence_reid/reid_roofline_r4.txt
+echo "=== [2/3] exit $? ($(date -u +%H:%M:%S)) ==="
+
+echo "=== [3/3] full-phase gray->IR, 1400 steps ($(date -u +%H:%M:%S)) ==="
+python -m vqvae2_tpu.train.vqvae_deep_ir --path "$RUN/data" \
+  --steps 1400 --stage_reconstruction 300 \
+  --batch_size 4 --num_pos 4 --arch resnet18 --log_every 8 \
+  --metrics_csv "$RUN/ir_loss_r4.csv" \
+  --sample_dir "$RUN/ir_samples_r4" --sample_every 200 \
+  --ckpt_dir /tmp/ir_r4_ckpt --save_every 200 --resume
+echo "=== [3/3] exit $? ($(date -u +%H:%M:%S)) ==="
+echo "=== round4b_evidence done ($(date -u +%H:%M:%S)) ==="
