@@ -18,8 +18,9 @@ STEPS_SSD="${STEPS_SSD:-600}"
 STEPS_MRCNN="${STEPS_MRCNN:-400}"
 mkdir -p "$RUN"
 
-echo "=== corpus: $N_IMGS synthetic COCO images ==="
-python - "$RUN" "$N_IMGS" <<'EOF'
+if [ ! -d "$RUN/data300" ] || [ ! -d "$RUN/data256" ]; then
+  echo "=== corpus: $N_IMGS synthetic COCO images ==="
+  python - "$RUN" "$N_IMGS" <<'EOF'
 import sys
 from vqvae2_tpu.detection.data import make_synthetic_coco
 run, n = sys.argv[1], int(sys.argv[2])
@@ -30,6 +31,7 @@ img_dir, ann = make_synthetic_coco(f"{run}/data256", n=n, size=256,
                                    with_masks=True)
 print("maskrcnn corpus:", img_dir, ann, flush=True)
 EOF
+fi
 
 echo "=== SSD300 (train/detection.py) ==="
 python -m vqvae2_tpu.train.detection \

@@ -8,7 +8,7 @@
 # Usage: nohup bash scripts/round4b_evidence.sh > /tmp/r4b.log 2>&1 &
 set -uo pipefail
 RUN="runs/convergence_gan"
-mkdir -p "$RUN" runs/convergence_det
+mkdir -p "$RUN" runs/convergence_det runs/convergence_reid
 
 if [ ! -d "$RUN/data" ]; then
   echo "=== corpus ==="
@@ -32,8 +32,8 @@ echo "=== [3/3] full-phase gray->IR, 1400 steps ($(date -u +%H:%M:%S)) ==="
 python -m vqvae2_tpu.train.vqvae_deep_ir --path "$RUN/data" \
   --steps 1400 --stage_reconstruction 300 \
   --batch_size 4 --num_pos 4 --arch resnet18 --log_every 8 \
-  --metrics_csv "$RUN/ir_loss_r4.csv" \
-  --sample_dir "$RUN/ir_samples_r4" --sample_every 200 \
-  --ckpt_dir /tmp/ir_r4_ckpt --save_every 200 --resume
+  --metrics_csv "$RUN/ir_loss_r5.csv" \
+  --sample_dir "$RUN/ir_samples_r5" --sample_every 200 \
+  --ckpt_dir "$RUN/ir_r5_ckpt" --save_every 200 --resume
 echo "=== [3/3] exit $? ($(date -u +%H:%M:%S)) ==="
 echo "=== round4b_evidence done ($(date -u +%H:%M:%S)) ==="

@@ -140,16 +140,6 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
             rngs={"dropout": rng})
         return feat, score, new_vars
 
-    def translations(params, cols, gray, ir, featV, featI):
-        variables = {"params": params, **cols}
-
-        def fwd(m):
-            return e3(m.gen_1(gray, featI)), e3(m.gen_2(ir, featV))
-
-        (g2i, i2g), _ = model.apply(variables, method=lambda m: fwd(m),
-                                    mutable=["batch_stats"])
-        return g2i, i2g
-
     def disc_loss_fn(disc_params, other_params, cols, gray, ir, g2i, i2g,
                      r1_weight):
         params = {**jax.tree_util.tree_map(jax.lax.stop_gradient, other_params),
