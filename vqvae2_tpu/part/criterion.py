@@ -47,15 +47,21 @@ def generate_edge(label: jax.Array, edge_width: int = 3) -> jax.Array:
     with an edge_width box filter.  label: (B, H, W) int → float {0,1}."""
     lab = label.astype(jnp.int32)
     b, h, w = lab.shape
-    edge = jnp.zeros((b, h, w), jnp.float32)
 
     def diff(a, bb):
         return ((a != bb) & (a != IGNORE) & (bb != IGNORE)).astype(jnp.float32)
 
-    edge = edge.at[:, 1:, :].max(diff(lab[:, 1:, :], lab[:, :-1, :]))
-    edge = edge.at[:, :, :-1].max(diff(lab[:, :, :-1], lab[:, :, 1:]))
-    edge = edge.at[:, :-1, :-1].max(diff(lab[:, :-1, :-1], lab[:, 1:, 1:]))
-    edge = edge.at[:, :-1, 1:].max(diff(lab[:, :-1, 1:], lab[:, 1:, :-1]))
+    # pad each directional diff back to (b, h, w) and take the elementwise
+    # max — pure pad+maximum fuses into one elementwise kernel, where the
+    # previous .at[slice].max form lowered to four scatters
+    pad = lambda x, hpad, wpad: jnp.pad(x, ((0, 0), hpad, wpad))
+    edge = jnp.maximum(
+        jnp.maximum(
+            pad(diff(lab[:, 1:, :], lab[:, :-1, :]), (1, 0), (0, 0)),
+            pad(diff(lab[:, :, :-1], lab[:, :, 1:]), (0, 0), (0, 1))),
+        jnp.maximum(
+            pad(diff(lab[:, :-1, :-1], lab[:, 1:, 1:]), (0, 1), (0, 1)),
+            pad(diff(lab[:, :-1, 1:], lab[:, 1:, :-1]), (0, 1), (1, 0))))
 
     # dilation: box conv (padding 1 like the reference, so width-3 default)
     k = jnp.ones((edge_width, edge_width, 1, 1), jnp.float32)
@@ -121,20 +127,19 @@ def criterion_all(preds_parsing: Sequence[jax.Array],
     edge_weights = jnp.stack([pos / tot, neg / tot])
 
     loss = 0.0
-    for pp in preds_parsing:
-        sp = _resize_logits(pp, (h, w))
+    scaled_parsing = [_resize_logits(pp, (h, w)) for pp in preds_parsing]
+    scaled_edge = [_resize_logits(pe, (h, w)) for pe in preds_edge]
+    for sp in scaled_parsing:
         loss += 0.5 * lambda_1 * (
             lovasz_softmax(jax.nn.softmax(sp, axis=-1), target_parsing,
                            ignore=ignore)
             + masked_cross_entropy(sp, target_parsing, ignore=ignore))
-    for pe in preds_edge:
-        se = _resize_logits(pe, (h, w))
+    for se in scaled_edge:
         loss += lambda_2 * masked_cross_entropy(se, target_edge, ignore=ignore,
                                                 class_weights=edge_weights)
-    for pp in preds_parsing:
-        sp = _resize_logits(pp, (h, w))
-        se = _resize_logits(preds_edge[0], (h, w))
-        r = consistency_loss(sp, se, target_parsing, ignore=ignore)
+    for sp in scaled_parsing:
+        r = consistency_loss(sp, scaled_edge[0], target_parsing,
+                             ignore=ignore)
         loss += lambda_3 * jnp.where(jnp.isnan(r), 0.0, r)
     return loss
 
