@@ -246,7 +246,9 @@ def rpn_targets(anchors: jax.Array, gt_boxes: jax.Array, gt_labels: jax.Array,
         jnp.log(jnp.clip(mb[:, 2], 1e-6, None) / axywh[:, 2]),
         jnp.log(jnp.clip(mb[:, 3], 1e-6, None) / axywh[:, 3]),
     ], axis=-1)
-    return obj, deltas
+    # bound the regression targets: a force-matched anchor far from its gt
+    # can otherwise produce huge deltas that blow up the smooth-L1 loss
+    return obj, jnp.clip(deltas, -4.0, 4.0)
 
 
 def decode_proposals(anchors: jax.Array, rpn_obj: jax.Array,
@@ -288,7 +290,9 @@ def roi_targets(proposals: jax.Array, gt_boxes: jax.Array,
         jnp.log(jnp.clip(mb[:, 2], 1e-6, None) / jnp.clip(pxywh[:, 2], 1e-4, None)),
         jnp.log(jnp.clip(mb[:, 3], 1e-6, None) / jnp.clip(pxywh[:, 3], 1e-4, None)),
     ], axis=-1)
-    return labels.astype(jnp.int32), deltas, best_gt
+    # bound targets (thin/degenerate proposals otherwise yield deltas in the
+    # hundreds through the 1e-4 clip and destabilize the whole step)
+    return labels.astype(jnp.int32), jnp.clip(deltas, -4.0, 4.0), best_gt
 
 
 def crop_gt_masks(gt_masks: jax.Array, gt_idx: jax.Array,
@@ -320,9 +324,17 @@ def mask_rcnn_loss(rpn_obj, rpn_reg, obj_t, delta_t,
 
     import optax
 
-    roi_ce = optax.softmax_cross_entropy_with_integer_labels(
-        roi_cls, roi_labels).mean()
+    # Balanced RoI classification: with ~1-3 positives among 64+ RoIs a plain
+    # mean collapses the classifier to background (softmax scores ~1e-9 at
+    # eval).  torchvision samples 512 RoIs at a 25% positive fraction
+    # (fg_bg_sampler); the static-shape equivalent is to reweight the CE to
+    # that same 1:3 effective ratio instead of subsampling.
+    ce = optax.softmax_cross_entropy_with_integer_labels(roi_cls, roi_labels)
     roi_pos = roi_labels > 0
+    n_pos = jnp.maximum(jnp.sum(roi_pos), 1.0)
+    n_neg = jnp.maximum(jnp.sum(~roi_pos), 1.0)
+    roi_ce = (0.25 * jnp.sum(ce * roi_pos) / n_pos
+              + 0.75 * jnp.sum(ce * ~roi_pos) / n_neg)
     roi_reg_loss = jnp.sum(_smooth_l1(roi_reg - roi_deltas).sum(-1) * roi_pos) \
         / jnp.maximum(jnp.sum(roi_pos), 1.0)
 

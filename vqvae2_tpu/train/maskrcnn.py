@@ -50,6 +50,12 @@ def make_train_step(model: M.MaskRCNN, tx, anchors: np.ndarray):
         proposals, _ = M.decode_proposals(anchors_j, rpn_obj, rpn_reg,
                                           model.num_proposals)
         proposals = jax.lax.stop_gradient(proposals)
+        # Inject the GT boxes as extra RoIs (torchvision's add_gt_proposals,
+        # roi_heads.py): before the RPN warms up every top-K proposal is
+        # background, the heads collapse to it and never recover — the
+        # round-4 zero-AP failure.  Padded gt rows are degenerate → IoU 0 →
+        # labeled background, so the shape stays static at K + max_boxes.
+        proposals = jnp.concatenate([proposals, gt_boxes], axis=1)
 
         roi_labels, roi_deltas, gt_idx = jax.vmap(M.roi_targets)(
             proposals, gt_boxes, gt_labels)
@@ -203,13 +209,15 @@ def _paste_mask(mask28: np.ndarray, box: np.ndarray, size: int,
 def train(args):
     mesh = par.default_mesh()
     dataset = CocoDetectionDataset(args.img_dir, args.ann_file,
-                                   size=args.size, with_masks=True)
+                                   size=args.size, with_masks=True,
+                                   max_boxes=args.max_boxes)
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
     total_steps = args.steps or steps_per_epoch * args.epoch
 
     model = M.MaskRCNN(num_classes=dataset.num_classes, img_size=args.size,
                        num_proposals=args.num_proposals, arch=args.arch)
-    anchors = M.generate_anchors(args.size)
+    sizes = tuple(int(s) for s in args.anchor_sizes.split(","))
+    anchors = M.generate_anchors(args.size, sizes=sizes)
     tx = optax.adam(args.lr)
 
     variables = model.init(jax.random.PRNGKey(args.seed),
@@ -297,6 +305,14 @@ def build_argparser():
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--num_proposals", type=int, default=64)
+    p.add_argument("--max_boxes", type=int, default=64,
+                   help="GT pad slots per image; also the number of GT RoIs "
+                        "injected into the head batch — set near the true "
+                        "max object count to keep the RoI batch lean")
+    p.add_argument("--anchor_sizes", type=str, default="32,64,128",
+                   help="comma-separated anchor sizes in pixels, one per FPN "
+                        "level — scale down with --size (at 64px the default "
+                        "32/64/128 anchors dwarf every object)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--arch", type=str, default="resnet18")
     p.add_argument("--pretrained", type=str, default="",
