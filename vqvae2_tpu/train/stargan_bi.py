@@ -111,8 +111,10 @@ def _split(params):
     return reid, gen, disc
 
 
-def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
-                    num_pos: int):
+def make_loss_fns(model: ModelStarGAN, num_pos: int):
+    """The three per-step objectives (reid / generator / discriminator) as
+    pure functions — shared by :func:`make_train_step` and the phase
+    decomposition in ``scripts/mfu_profile.py --stargan``."""
     ce = lambda lg, lb: optax.softmax_cross_entropy_with_integer_labels(
         lg, lb).mean()
     mse = lambda a, b: jnp.mean(jnp.square(a - b))
@@ -141,7 +143,7 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
         return feat, score, new_vars
 
     def disc_loss_fn(disc_params, other_params, cols, gray, ir, g2i, i2g,
-                     r1_weight):
+                     r1_weight, with_r1: bool = True):
         params = {**jax.tree_util.tree_map(jax.lax.stop_gradient, other_params),
                   **disc_params}
         variables = {"params": params, **cols}
@@ -158,10 +160,16 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
 
         out_real = model.apply(variables, x_real, y, method=model.discriminate)
         loss_real = adv_loss(out_real, 1)
-        # R1: 0.5·E[‖∇ₓD(x)‖²] (reference r1_reg, :131-141); weight traced
-        grad_x = jax.grad(d_real_sum)(x_real)
-        r1 = 0.5 * jnp.mean(jnp.sum(jnp.square(
-            grad_x.reshape(2 * bs, -1)), axis=1))
+        # R1: 0.5·E[‖∇ₓD(x)‖²] (reference r1_reg, :131-141); weight traced.
+        # ``with_r1`` is a STATIC switch for the profiler (r1_weight being
+        # traced means XLA can never DCE the nested grad) — trainer always
+        # passes the default True.
+        if with_r1:
+            grad_x = jax.grad(d_real_sum)(x_real)
+            r1 = 0.5 * jnp.mean(jnp.sum(jnp.square(
+                grad_x.reshape(2 * bs, -1)), axis=1))
+        else:
+            r1 = jnp.zeros(())
 
         x_fake = jnp.concatenate([g2i, i2g], axis=0)
         out_fake = model.apply(variables, x_fake, 1 - y,
@@ -237,6 +245,13 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
             + L.triplet_loss_wrt(fi, labels1)[0]
         return loss, (feat, new_vars["batch_stats"])
 
+    return reid_loss_fn, gen_loss_fn, disc_loss_fn
+
+
+def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
+                    num_pos: int):
+    reid_loss_fn, gen_loss_fn, disc_loss_fn = make_loss_fns(model, num_pos)
+
     # Donate the state: params/opt/EMA buffers are rewritten in place,
     # halving peak HBM for the step (XLA aliases in->out buffers).
     # ``knobs`` (optional) carries traced balance scalars — r1_weight,
@@ -297,33 +312,44 @@ def make_train_step(model: ModelStarGAN, tx_reid, tx_gen, tx_disc,
     return train_step
 
 
-def build_idpres_set(dataset: SYSUData, max_ids: int = 32, seed: int = 0):
-    """Fixed probe set for the identity-preservation metric: per identity one
-    gray query source (instance a), one style-donor IR (instance b) and one
-    gallery IR (instance c ≠ b, so the style vector can't leak gallery
-    appearance).  Images leave ImageNet-normalized like the train batches."""
+def build_idpres_set(dataset: SYSUData, max_ids: int = 32, seed: int = 0,
+                     trials: int = 5):
+    """Probe sets for the identity-preservation metric: per identity one gray
+    query source (instance a), one style-donor IR (instance b) and one gallery
+    IR (instance c ≠ b, so the style vector can't leak gallery appearance).
+    Images leave ImageNet-normalized like the train batches.
+
+    ``trials`` independent (a, b, c) draws per identity (the SYSU protocol's
+    multi-trial gallery resampling, ``eval/reid.py::validate``): a single
+    16-probe single-gallery draw carries ~±0.1 eval noise — the entire signal
+    the round-4 run claimed (VERDICT r4 weak #5) — so the logged metric is
+    the mean over ``trials`` resampled galleries."""
     from vqvae2_tpu.data.sysu import imagenet_normalize
 
     rng = np.random.default_rng(seed)
     ids = np.unique(dataset.train_color_label)[:max_ids]
-    grays, styles, gals, labels = [], [], [], []
-    for pid in ids:
-        ci = np.flatnonzero(dataset.train_color_label == pid)
-        ti = np.flatnonzero(dataset.train_ir_label == pid)
-        if len(ci) == 0 or len(ti) == 0:
-            continue
-        a = rng.choice(ci)
-        b, c = (rng.choice(ti, size=2, replace=False) if len(ti) >= 2
-                else (ti[0], ti[0]))
-        rgb = imagenet_normalize(dataset.train_color_image[a])
-        grays.append(np.repeat(rgb.mean(axis=-1, keepdims=True), 3, axis=-1))
-        styles.append(imagenet_normalize(dataset.train_ir_image[b]))
-        gals.append(imagenet_normalize(dataset.train_ir_image[c]))
-        labels.append(pid)
-    return (np.stack(grays).astype(np.float32),
-            np.stack(styles).astype(np.float32),
-            np.stack(gals).astype(np.float32),
-            np.asarray(labels, np.int64))
+    out = []
+    for _ in range(max(trials, 1)):
+        grays, styles, gals, labels = [], [], [], []
+        for pid in ids:
+            ci = np.flatnonzero(dataset.train_color_label == pid)
+            ti = np.flatnonzero(dataset.train_ir_label == pid)
+            if len(ci) == 0 or len(ti) == 0:
+                continue
+            a = rng.choice(ci)
+            b, c = (rng.choice(ti, size=2, replace=False) if len(ti) >= 2
+                    else (ti[0], ti[0]))
+            rgb = imagenet_normalize(dataset.train_color_image[a])
+            grays.append(np.repeat(rgb.mean(axis=-1, keepdims=True), 3,
+                                   axis=-1))
+            styles.append(imagenet_normalize(dataset.train_ir_image[b]))
+            gals.append(imagenet_normalize(dataset.train_ir_image[c]))
+            labels.append(pid)
+        out.append((np.stack(grays).astype(np.float32),
+                    np.stack(styles).astype(np.float32),
+                    np.stack(gals).astype(np.float32),
+                    np.asarray(labels, np.int64)))
+    return out
 
 
 def make_idpres_eval(model: ModelStarGAN):
@@ -350,16 +376,21 @@ def make_idpres_eval(model: ModelStarGAN):
 
         return model.apply(variables, method=lambda m: fwd(m))
 
-    def evaluate(state: GanState, probe_set) -> float:
+    def evaluate(state: GanState, probe_sets) -> float:
         from vqvae2_tpu.eval.reid import cosine_distmat, eval_sysu
 
-        gray_q, ir_style, ir_gal, labels = probe_set
-        qf, gf = feats(state.params, state.batch_stats,
-                       jnp.asarray(gray_q), jnp.asarray(ir_style),
-                       jnp.asarray(ir_gal))
-        _, mAP, _ = eval_sysu(cosine_distmat(np.asarray(qf), np.asarray(gf)),
-                              labels, labels)
-        return mAP
+        # mean over independent probe/gallery draws (all trials share one
+        # jitted program — identical shapes)
+        maps = []
+        for gray_q, ir_style, ir_gal, labels in probe_sets:
+            qf, gf = feats(state.params, state.batch_stats,
+                           jnp.asarray(gray_q), jnp.asarray(ir_style),
+                           jnp.asarray(ir_gal))
+            _, mAP, _ = eval_sysu(
+                cosine_distmat(np.asarray(qf), np.asarray(gf)),
+                labels, labels)
+            maps.append(mAP)
+        return float(np.mean(maps))
 
     return evaluate
 
@@ -453,7 +484,9 @@ def train(args):
     state = par.replicate(state, mesh)
     step_fn = make_train_step(model, tx_reid, tx_gen, tx_disc, args.num_pos)
     sample_fn = make_sample_fn(model) if args.sample_dir else None
-    idpres = (make_idpres_eval(model), build_idpres_set(dataset, seed=args.seed)
+    idpres = (make_idpres_eval(model),
+              build_idpres_set(dataset, seed=args.seed,
+                               trials=args.idpres_trials)
               ) if args.eval_every else None
     rng = jax.random.PRNGKey(args.seed + 2)
     host_rng = np.random.default_rng(args.seed)
@@ -543,6 +576,9 @@ def build_argparser():
     p.add_argument("--eval_every", type=int, default=0,
                    help="compute frozen-reid identity-preservation mAP every "
                         "N steps")
+    p.add_argument("--idpres_trials", type=int, default=5,
+                   help="independent probe/gallery draws averaged per idpres "
+                        "eval (single-draw noise is ~±0.1 at 16 ids)")
     p.add_argument("--ckpt_dir", type=str, default="",
                    help="periodic/last/best-idpres checkpoints (off if empty)")
     p.add_argument("--save_every", type=int, default=0,
