@@ -196,6 +196,122 @@ def profile_reid(args):
                   f"({f32[k]:.1f} -> {b16[k]:.1f} ms)")
 
 
+def profile_stargan(args):
+    """Decompose the StarGAN-v2 bidirectional step (reference hot loop
+    ``train_vqvae_deep_bi2.py:148-290``) at the evidence-run config
+    (batch 4×4, resnet18, 288×144): reid fwd+bwd, generator fwd+bwd
+    (2 generators ×2 passes for the cycle + reid-on-fakes + D-on-fakes),
+    discriminator fwd+bwd with and without the nested-grad R1 penalty, and
+    the full 3-optimizer step — VERDICT r4 weak #4 (831 ms/step unprofiled)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vqvae2_tpu.models.stargan import ModelStarGAN
+    from vqvae2_tpu.train.stargan_bi import (GanState, _generator_img_size,
+                                             _split, make_loss_fns,
+                                             make_train_step)
+
+    n_ids, num_pos = args.gan_ids, 4
+    hw = tuple(int(v) for v in args.gan_hw.split(","))
+    bs = n_ids * num_pos
+    print(f"backend: {jax.default_backend()}  stargan step P{n_ids}xK{num_pos}"
+          f" ({bs} gray + {bs} ir rows, {hw[0]}x{hw[1]}, arch={args.gan_arch})",
+          flush=True)
+    rngd = np.random.default_rng(0)
+    imgs = lambda: jnp.asarray(
+        rngd.normal(size=(bs, *hw, 3)).astype(np.float32))
+    batch = {"gray": imgs(), "ir": imgs(), "aug_rgb": imgs(),
+             "aug_ir": imgs(),
+             "label": jnp.asarray(np.repeat(np.arange(n_ids, dtype=np.int32),
+                                            num_pos))}
+
+    model = ModelStarGAN(class_num=16, arch=args.gan_arch,
+                         img_size=_generator_img_size(*hw))
+    tx_reid = optax.sgd(0.1, momentum=0.9, nesterov=True)
+    tx_gen, tx_disc = optax.adam(1e-4), optax.adam(1e-4)
+    probe = jnp.zeros((2 * num_pos, *hw, 3), jnp.float32)
+
+    def init_probe(module):
+        feat, *_ = module.person_id(xRGB=probe, xIR=probe, modal=0,
+                                    with_feature=True)
+        fv, fi = jnp.split(feat, 2, axis=0)
+        g2i = module.gen_1(probe, fi)
+        i2g = module.gen_2(probe, fv)
+        y = jnp.zeros((probe.shape[0],), jnp.int32)
+        return module.discriminate(probe, y)
+
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           method=init_probe)
+    reid_p, gen_p, disc_p = _split(variables["params"])
+    bstats = variables.get("batch_stats", {})
+    state = GanState(step=jnp.zeros((), jnp.int32),
+                     params=variables["params"], batch_stats=bstats,
+                     opt_reid=tx_reid.init(reid_p),
+                     opt_gen=tx_gen.init(gen_p),
+                     opt_disc=tx_disc.init(disc_p))
+    reid_loss_fn, gen_loss_fn, disc_loss_fn = make_loss_fns(model, num_pos)
+    cols = {"batch_stats": bstats}
+    key = jax.random.PRNGKey(2)
+    n = max(args.iters // 8, 5)
+    rows = []
+
+    def reid_phase(rp, other, x_):
+        b = dict(batch, aug_rgb=x_)
+        (l, (feat, _)), g = jax.value_and_grad(reid_loss_fn, has_aux=True)(
+            rp, other, cols, b, key)
+        return l, feat, g
+    profile_phase("reid fwd+bwd", reid_phase,
+                  (reid_p, {**gen_p, **disc_p}, batch["aug_rgb"]), n, rows)
+
+    feat_s = jax.eval_shape(
+        lambda rp: reid_loss_fn(rp, {**gen_p, **disc_p}, cols, batch,
+                                key)[1][0], reid_p)
+    featV = jnp.asarray(rngd.normal(size=(bs, feat_s.shape[-1]))
+                        .astype(np.float32))
+    featI = featV + 0.1
+
+    def gen_phase(gp, other, x_):
+        b = dict(batch, gray=x_)
+        (l, (m, g2i, i2g)), g = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            gp, other, cols, b, featV, featI, jnp.float32(0.5), key)
+        return l, g2i, i2g, g
+    profile_phase("gen fwd+bwd", gen_phase,
+                  (gen_p, {**reid_p, **disc_p}, batch["gray"]), n, rows)
+
+    g2i = jnp.asarray(rngd.normal(size=(bs, *hw, 3)).astype(np.float32))
+    i2g = g2i[::-1]
+
+    def disc_phase(with_r1):
+        def fn(dp, other, x_):
+            (l, aux), g = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+                dp, other, cols, x_, batch["ir"], g2i, i2g,
+                jnp.float32(1.0), with_r1)
+            return l, g
+        return fn
+    profile_phase("disc fwd+bwd (with R1)", disc_phase(True),
+                  (disc_p, {**reid_p, **gen_p}, batch["gray"]), n, rows)
+    profile_phase("disc fwd+bwd (no R1)", disc_phase(False),
+                  (disc_p, {**reid_p, **gen_p}, batch["gray"]), n, rows)
+
+    step_fn = make_train_step(model, tx_reid, tx_gen, tx_disc,
+                              num_pos).__wrapped__
+
+    def full_step(state_, x_):
+        b = dict(batch, gray=x_)
+        s, m = step_fn(state_, b, key)
+        return (m["loss_gen"], s.params, s.opt_gen, s.opt_disc, s.opt_reid)
+    profile_phase("train step (3 optimizers)", full_step,
+                  (state, batch["gray"]), n, rows)
+
+    print_table({"fp32": rows})
+    byname = {r[0]: r[1] for r in rows}
+    r1_ms = byname["disc fwd+bwd (with R1)"] - byname["disc fwd+bwd (no R1)"]
+    print(f"R1 nested-grad cost: {r1_ms:.1f} ms "
+          f"({100 * r1_ms / byname['train step (3 optimizers)']:.0f}% of step)")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
@@ -206,9 +322,17 @@ def main():
                    help="profile the ReID+part step instead of stage-1")
     p.add_argument("--reid_ids", type=int, default=6)
     p.add_argument("--reid_arch", type=str, default="resnet50")
+    p.add_argument("--stargan", action="store_true",
+                   help="profile the StarGAN-v2 bidirectional step")
+    p.add_argument("--gan_ids", type=int, default=4)
+    p.add_argument("--gan_arch", type=str, default="resnet18")
+    p.add_argument("--gan_hw", type=str, default="288,144",
+                   help="input geometry (CPU smoke tests use 64,32)")
     args = p.parse_args()
     if args.reid:
         return profile_reid(args)
+    if args.stargan:
+        return profile_stargan(args)
 
     import jax
     import jax.numpy as jnp

@@ -5,6 +5,28 @@ import numpy as np
 import pytest
 
 
+def test_restore_latest_fresh_dir(tmp_path):
+    """``--resume`` on a fresh checkpoint dir must start clean, not crash
+    (round-5 chip chain: steps [2/4] and [3/4] both died on
+    FileNotFoundError when the run dir had no checkpoint yet)."""
+    from vqvae2_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    target = {"a": np.zeros((2,), np.float32), "b": np.zeros((), np.int32)}
+    state, name = mgr.restore_latest(target)
+    assert name is None and state is target
+
+    mgr.save_last({"a": np.ones((2,), np.float32),
+                   "b": np.asarray(7, np.int32)})
+    state, name = mgr.restore_latest(target)
+    assert name == "last" and int(state["b"]) == 7
+
+    mgr.save_periodic(10, {"a": np.ones((2,), np.float32),
+                           "b": np.asarray(10, np.int32)})
+    state, name = mgr.restore_latest(target)
+    assert name == "step_0000010" and int(state["b"]) == 10
+
+
 @pytest.mark.slow
 def test_vqvae_trainer_resume(tmp_path):
     from vqvae2_tpu.train import vqvae as tv
@@ -15,7 +37,9 @@ def test_vqvae_trainer_resume(tmp_path):
         "--embed_dim", "8", "--log_every", "2",
         "--ckpt_dir", str(tmp_path / "ckpt"),
     ]
-    args = tv.build_argparser().parse_args(base)
+    # first launch WITH --resume: fresh dir must start clean (tolerant
+    # restore_latest), matching how the evidence chain scripts invoke it
+    args = tv.build_argparser().parse_args(base + ["--resume"])
     m1 = tv.train(args)
     assert np.isfinite(m1["loss"])
 

@@ -128,12 +128,13 @@ def train(args):
     csv = CsvLogger(getattr(args, "metrics_csv", ""))
     ckpt = CheckpointManager(args.ckpt_dir, config=vars(args)) if args.ckpt_dir else None
     if ckpt and args.resume:
-        latest = ckpt.latest_step()
-        name = f"step_{latest:07d}" if latest is not None else "last"
-        state = ckpt.restore(name, state)
-        state = par.replicate(state, mesh)
+        state, name = ckpt.restore_latest(state)
+        if name is not None:
+            state = par.replicate(state, mesh)
         if par.is_primary():
-            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
+            print(f"resumed from {args.ckpt_dir}/{name}" if name else
+                  f"no checkpoint in {args.ckpt_dir}; starting fresh",
+                  flush=True)
 
     order_rng = np.random.default_rng(args.seed)
     t0, n_done, m = time.perf_counter(), 0, {}

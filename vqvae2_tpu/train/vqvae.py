@@ -173,11 +173,11 @@ def train(args) -> Dict[str, float]:
                          (1, args.size, args.size, 3))
     if args.resume and args.ckpt_dir:
         mgr = CheckpointManager(args.ckpt_dir)
-        latest = mgr.latest_step()
-        name = f"step_{latest:07d}" if latest is not None else "last"
-        state = mgr.restore(name, state)
+        state, name = mgr.restore_latest(state)
         if par.is_primary():
-            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
+            print(f"resumed from {args.ckpt_dir}/{name}" if name else
+                  f"no checkpoint in {args.ckpt_dir}; starting fresh",
+                  flush=True)
     state = par.replicate(state, mesh)
     if args.grad_accum > 1 and args.batch_size % args.grad_accum:
         raise SystemExit(f"--batch_size {args.batch_size} not divisible by "

@@ -304,11 +304,11 @@ def train(args):
                       opt_gen=tx_gen.init(gen_params))
     if args.resume and args.ckpt_dir:
         mgr = CheckpointManager(args.ckpt_dir)
-        latest = mgr.latest_step()
-        name = f"step_{latest:07d}" if latest is not None else "last"
-        state = mgr.restore(name, state)
+        state, name = mgr.restore_latest(state)
         if par.is_primary():
-            print(f"resumed from {args.ckpt_dir}/{name}", flush=True)
+            print(f"resumed from {args.ckpt_dir}/{name}" if name else
+                  f"no checkpoint in {args.ckpt_dir}; starting fresh",
+                  flush=True)
     state = par.replicate(state, mesh)
     ckpt = (CheckpointManager(args.ckpt_dir, config=vars(args))
             if args.ckpt_dir else None)

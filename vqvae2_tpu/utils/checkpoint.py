@@ -73,6 +73,21 @@ class CheckpointManager:
         return self._ckptr.restore(path, target=jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, _to_host(target)))
 
+    def restore_latest(self, target):
+        """Restore the newest checkpoint if one exists, else return
+        ``target`` untouched. Returns ``(state, name_or_None)``.
+
+        Tolerant of a fresh directory so trainers can pass ``--resume``
+        unconditionally (first launch starts clean; a relaunch after an
+        outage picks up the newest ``step_*``/``last``) — the reference
+        likewise only loads when a checkpoint path is given
+        (``train_pixelsnail.py:100-106``)."""
+        latest = self.latest_step()
+        name = f"step_{latest:07d}" if latest is not None else "last"
+        if not os.path.isdir(os.path.join(self.directory, name)):
+            return target, None
+        return self.restore(name, target), name
+
     def load_config(self) -> Optional[Dict[str, Any]]:
         p = os.path.join(self.directory, "config.json")
         if os.path.exists(p):
