@@ -174,17 +174,21 @@ def test_visualize_draw_and_save(tmp_path):
 
 
 @pytest.mark.slow
-def test_ssd_trainer_train_eval_viz(tmp_path):
+def test_ssd_trainer_train_eval_viz(tmp_path, forbid_replication):
     from vqvae2_tpu.detection.data import make_synthetic_coco
     from vqvae2_tpu.train import detection as T
 
-    # SSD300's default-box grid is fixed to 300px input
-    img_dir, ann = make_synthetic_coco(str(tmp_path), n=4, size=300,
+    # SSD300's default-box grid is fixed to 300px input. Batch 8 on the
+    # 8-device mesh: one image per device, replication fallback forbidden —
+    # the SSD step runs actually-sharded (the treatment the SYSU trainers
+    # got in round 4 and Mask R-CNN in round 5; detection was the last
+    # family whose sharded step had never executed).
+    img_dir, ann = make_synthetic_coco(str(tmp_path), n=8, size=300,
                                        n_classes=3)
     viz = tmp_path / "viz"
     args = T.build_argparser().parse_args([
         "--img_dir", img_dir, "--ann_file", ann, "--size", "300",
-        "--steps", "1", "--batch_size", "2", "--log_every", "1",
+        "--steps", "1", "--batch_size", "8", "--log_every", "1",
         "--eval", "--viz_dir", str(viz),
         "--eval_every", "1", "--map_csv", str(tmp_path / "ap.csv"),
     ])
@@ -196,3 +200,33 @@ def test_ssd_trainer_train_eval_viz(tmp_path):
     # the periodic-AP path (eval_every) must produce a header + one row
     ap_rows = (tmp_path / "ap.csv").read_text().strip().splitlines()
     assert len(ap_rows) == 2 and ap_rows[0].startswith("step,")
+
+
+@pytest.mark.slow
+def test_ssd_overfit_ap50(tmp_path):
+    """Quality, not schema: overfitting 8 images for 60 steps must push COCO
+    bbox AP50 past 0.4, and the periodic-AP curve must RISE (measured
+    trajectory at this exact config: AP50 0.004 at step 20, 0.088 at 40,
+    0.82 at 60, 0.87 at 80). The Mask R-CNN round-4 regression [quality
+    metric pinned at exactly 0 while the loss fell 5x] had no SSD-side
+    guard; this is it (VERDICT r4 #6)."""
+    import csv as _csv
+
+    from vqvae2_tpu.detection.data import make_synthetic_coco
+    from vqvae2_tpu.train import detection as T
+
+    img_dir, ann = make_synthetic_coco(str(tmp_path), n=8, size=300,
+                                       n_classes=3)
+    map_csv = tmp_path / "ap.csv"
+    args = T.build_argparser().parse_args([
+        "--img_dir", img_dir, "--ann_file", ann, "--size", "300",
+        "--steps", "60", "--batch_size", "8", "--lr", "3e-3",
+        "--log_every", "20", "--eval",
+        "--eval_every", "30", "--map_csv", str(map_csv),
+    ])
+    m = T.train(args)
+    assert m["AP50"] > 0.4, f"bbox AP50 didn't rise: {m}"
+    rows = list(_csv.DictReader(open(map_csv)))
+    assert len(rows) == 2, f"expected evals at steps 30 and 60: {rows}"
+    assert float(rows[-1]["AP50"]) > float(rows[0]["AP50"]), (
+        f"periodic AP50 must rise: {rows}")
